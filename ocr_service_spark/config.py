@@ -1,0 +1,71 @@
+"""Engine configuration constants.
+
+Every constant that mirrors reference behavior carries its source citation
+(file:line into /root/reference/) so parity is checkable.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+# --- recognition gates -----------------------------------------------------
+# reference: services/gateway/src/platform/config/index.ts:26-27 (defaults
+# 0.7 high / 0.6 low); docker-compose.yml:160-161 keeps gateway at 0.7/0.6.
+CONFIDENCE_THRESHOLD_HIGH = 0.7
+CONFIDENCE_THRESHOLD_LOW = 0.6
+
+# --- ingest validation -----------------------------------------------------
+# reference: services/gateway/src/services/ocr.ts:42-49 (jpeg/png/webp, 10 MB)
+MAX_MEDIA_BYTES = 10 * 1024 * 1024
+ALLOWED_MEDIA_MAGIC = (b"SIMG1\n", b"\xff\xd8\xff", b"\x89PNG", b"RIFF")
+
+# --- preprocessing constants (aligner service) ------------------------------
+# reference: services/aligner/src/services/common.py:14 — invert dark receipts
+DARK_INVERT_MEAN_THRESHOLD = 100.0
+# reference: common.py:73-75 — warp output: 1.5x max edge, min 64 px
+WARP_SCALE = 1.5
+WARP_MIN_SIZE = 64
+# reference: aligner.py:391-395 — flood-fill tolerance clip range
+TOLERANCE_MIN = 10.0
+TOLERANCE_MAX = 65.0
+# reference: aligner.py:330-340 — receipt contour aspect filter 1 < h/w < 6
+ASPECT_MIN = 1.0
+ASPECT_MAX = 6.0
+# reference: common.py:107-113 — adaptive threshold (gentle) block 15, C 5
+BINARIZE_BLOCK = 15
+BINARIZE_C = 5
+
+# --- engine cascade ---------------------------------------------------------
+# reference: services/gateway/src/services/processor.ts:371-390 — attempt
+# order: tesseract+preprocessed, paddleocr+preprocessed, paddleocr+warped.
+CASCADE_ATTEMPTS = (
+    ("tesseract", "preprocessed"),
+    ("paddleocr", "preprocessed"),
+    ("paddleocr", "warped"),
+)
+
+# --- Arrow batching ---------------------------------------------------------
+# Rows carry image bytes; keep record batches small (SURVEY.md §4).
+ARROW_MAX_RECORDS_PER_BATCH = 64
+
+# --- scale knobs ------------------------------------------------------------
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# salt buckets for decode-cost balancing of media-heavy partitions
+COST_SALT_BUCKETS = 32
+# target decode bytes per task for the media stage
+TARGET_BYTES_PER_TASK = 64 * 1024 * 1024
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Runtime config for the extraction pipeline."""
+
+    confidence_low: float = CONFIDENCE_THRESHOLD_LOW
+    confidence_high: float = CONFIDENCE_THRESHOLD_HIGH
+    accepted_qr_formats: tuple[str, ...] | None = None  # None → accept all
+    salt_buckets: int = COST_SALT_BUCKETS
+    run_id: str = "run-0"
+    # checkpoint table path (parquet dir locally, Iceberg table on cluster)
+    checkpoint_path: str | None = None
+    attempts: tuple[tuple[str, str], ...] = field(default=CASCADE_ATTEMPTS)

@@ -1,0 +1,257 @@
+"""Deterministic synthetic interleaved-document generator.
+
+Produces the engine's input tables at small scale (BASELINE.json: the
+10^12-doc Iceberg table is synthesised deterministically for tests/bench;
+no external data):
+
+- ``documents.parquet``  — (doc_id, spans) per FIXTURES.md §1
+- ``media.parquet``      — (media_ref, content, ...) blob side table
+                           (MinIO analog, storage/index.ts:47-59)
+- ``golden.parquet``     — expected output spans per FIXTURES.md §2,
+                           computed by the sequential reference impl
+
+Mix per FIXTURES.md §1: ~70% text/html spans, ~20% media, ~10% pdf; a 1%
+tail of media-heavy docs holding a large share of media bytes (skew
+fixture for cost-salted repartitioning).
+
+Everything is a pure function of (n_docs, seed).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .golden import extract_document
+from .kernels.media import encode_simg
+
+_WORDS = (
+    "receipt total market spark shuffle partition batch stream merge scan "
+    "window order filter join hash sort table column vector arrow kernel "
+    "quantity price tax discount store item apple bread milk coffee sugar "
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+).split()
+
+_QR_PAYLOADS = (
+    # fiscal / url / unknown mix matching the classifier inputs
+    # (processor.ts:341-355)
+    "t=20240101T1200&s=1234.56&fn=9999078900001234&i=1&fp=987654321&n=1",
+    "https://example.com/check/{i}",
+    "http://shop.example.org/r/{i}",
+    "fn=7781234567890123&ofd=yes&id={i}",
+    "PLAIN-CODE-{i}",
+    "hello-world-{i}",
+)
+
+
+def _sentence(rng: np.random.Generator, n: int) -> str:
+    return " ".join(rng.choice(_WORDS, size=n))
+
+
+def _make_text_span(rng: np.random.Generator) -> str:
+    n = int(rng.integers(10, 60))
+    raw = _sentence(rng, n)
+    # inject irregular whitespace so normalization has work to do
+    if rng.random() < 0.5:
+        words = raw.split(" ")
+        k = int(rng.integers(0, len(words)))
+        words[k] = words[k] + "\n\t "
+        raw = " ".join(words)
+    return raw
+
+
+def _make_html_span(rng: np.random.Generator) -> str:
+    paras = [
+        f"<p>{_sentence(rng, int(rng.integers(15, 50)))}</p>"
+        for _ in range(int(rng.integers(1, 4)))
+    ]
+    nav_links = " ".join(
+        f'<a href="/{w}">{w} {w2}</a>'
+        for w, w2 in zip(rng.choice(_WORDS, 6), rng.choice(_WORDS, 6))
+    )
+    linkfarm = " ".join(f'<a href="/{w}">{w}</a>' for w in rng.choice(_WORDS, 12))
+    short = f"<div>{_sentence(rng, int(rng.integers(1, 6)))}</div>"
+    return (
+        "<html><head><title>t</title><style>p{color:red}</style></head><body>"
+        f"<nav>{nav_links}</nav><header><div>{_sentence(rng, 4)}</div></header>"
+        f"{short}" + "".join(paras) + f"<div>{linkfarm}</div>"
+        f"<footer>{_sentence(rng, 8)} <a href='/x'>legal</a></footer>"
+        "</body></html>"
+    )
+
+
+def _make_pdf_span(rng: np.random.Generator) -> str:
+    """Two-column page: fragments emitted column-interleaved so XY-cut must
+    reorder them. Coordinates: left col x≈40, right col x≈320, gap 80."""
+    n_rows = int(rng.integers(3, 8))
+    left, right = [], []
+    for r in range(n_rows):
+        y = 40.0 + 20.0 * r
+        left.append((40.0, y, 200.0, 12.0, _sentence(rng, int(rng.integers(3, 7)))))
+        right.append((320.0, y, 200.0, 12.0, _sentence(rng, int(rng.integers(3, 7)))))
+    header = (40.0, 10.0, 480.0, 14.0, _sentence(rng, int(rng.integers(4, 9))))
+    frags = [header]
+    for pair in zip(left, right):  # interleave: L0 R0 L1 R1 ...
+        frags.extend(pair)
+    return "\n".join(f"{x}|{y}|{w}|{h}|{t}" for x, y, w, h, t in frags)
+
+
+def _make_media_blob(rng: np.random.Generator, idx: int, heavy: bool) -> bytes:
+    side = int(rng.integers(384, 768)) if heavy else int(rng.integers(48, 160))
+    w, h = side, int(side * float(rng.uniform(1.1, 1.8)))
+    brightness = float(rng.uniform(40, 220))  # some < 100 → invert path
+    pixels = np.clip(
+        rng.normal(brightness, 18.0, size=(h, w)), 0, 255
+    ).astype(np.uint8)
+    # bright receipt quad on the background (foreground for bbox path)
+    mx, my = w // 8, h // 8
+    quad = [
+        [mx + float(rng.uniform(-3, 3)), my + float(rng.uniform(-3, 3))],
+        [w - mx + float(rng.uniform(-3, 3)), my + float(rng.uniform(-3, 3))],
+        [w - mx + float(rng.uniform(-3, 3)), h - my + float(rng.uniform(-3, 3))],
+        [mx + float(rng.uniform(-3, 3)), h - my + float(rng.uniform(-3, 3))],
+    ]
+    perm = rng.permutation(4)  # unordered corners → exercises order_corners
+    quad = [quad[int(i)] for i in perm]
+
+    lines = [_sentence(rng, int(rng.integers(2, 6))) for _ in range(int(rng.integers(1, 5)))]
+    # per-attempt confidences: ~55% first attempt passes, ~25% second,
+    # ~10% third, ~10% all-below (last-resort path, processor.ts:443-474)
+    roll = rng.random()
+    def c(lo, hi):
+        return round(float(rng.uniform(lo, hi)), 4)
+    if roll < 0.55:
+        conf = {"tesseract_preprocessed": c(0.6, 0.99), "paddleocr_preprocessed": c(0.3, 0.99), "paddleocr_warped": c(0.3, 0.99)}
+    elif roll < 0.80:
+        conf = {"tesseract_preprocessed": c(0.0, 0.59), "paddleocr_preprocessed": c(0.6, 0.99), "paddleocr_warped": c(0.3, 0.99)}
+    elif roll < 0.90:
+        conf = {"tesseract_preprocessed": c(0.0, 0.59), "paddleocr_preprocessed": c(0.0, 0.59), "paddleocr_warped": c(0.6, 0.99)}
+    else:
+        conf = {"tesseract_preprocessed": c(0.0, 0.59), "paddleocr_preprocessed": c(0.0, 0.59), "paddleocr_warped": c(0.0, 0.59)}
+
+    meta: dict = {"w": w, "h": h, "quad": quad, "lines": lines, "conf": conf}
+    if rng.random() < 0.30:  # QR-bearing images
+        payload = str(rng.choice(_QR_PAYLOADS)).format(i=idx)
+        meta["qr"] = {
+            "data": payload,
+            "location": [int(rng.integers(0, w // 2)), int(rng.integers(0, h // 2)), 21, 21],
+            "in_warped": bool(rng.random() < 0.6),
+            "in_preprocessed": bool(rng.random() < 0.9),
+        }
+    if rng.random() < 0.05:
+        meta.pop("quad")  # no neural corners → classic bbox fallback path
+    return encode_simg(meta, pixels)
+
+
+def generate(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str]:
+    """Generate documents/media/golden parquet under ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    doc_ids, doc_spans = [], []
+    media_refs, media_blobs = [], []
+    golden_rows = []
+    media_lookup: dict[str, bytes] = {}
+    media_idx = 0
+
+    heavy_docs = set(
+        rng.choice(n_docs, size=max(1, n_docs // 100), replace=False).tolist()
+    )
+
+    for d in range(n_docs):
+        doc_id = f"doc-{seed}-{d:08d}"
+        heavy = d in heavy_docs
+        n_spans = int(rng.integers(6, 12)) if heavy else int(rng.integers(1, 8))
+        spans = []
+        offsets = rng.permutation(n_spans)  # input array order ≠ offset order
+        for slot in range(n_spans):
+            roll = rng.random()
+            if heavy and slot > 0:
+                kind = "media" if roll < 0.7 else "text"
+            elif roll < 0.45:
+                kind = "text"
+            elif roll < 0.70:
+                kind = "html"
+            elif roll < 0.80:
+                kind = "pdf"
+            else:
+                kind = "media"
+            offset = int(offsets[slot])
+            if kind == "media":
+                ref = f"mem://img/{seed}/{media_idx:08d}"
+                blob = _make_media_blob(rng, media_idx, heavy)
+                media_refs.append(ref)
+                media_blobs.append(blob)
+                media_lookup[ref] = blob
+                media_idx += 1
+                spans.append({"kind": "media", "text": None, "media_ref": ref, "offset": offset})
+            else:
+                maker = {"text": _make_text_span, "html": _make_html_span, "pdf": _make_pdf_span}[kind]
+                spans.append({"kind": kind, "text": maker(rng), "media_ref": None, "offset": offset})
+        doc_ids.append(doc_id)
+        doc_spans.append(spans)
+        golden_rows.append(extract_document(spans, media_lookup))
+
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    out_span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("order", pa.int32())]
+    )
+    docs_tbl = pa.table(
+        {"doc_id": pa.array(doc_ids, pa.string()), "spans": pa.array(doc_spans, pa.list_(span_t))}
+    )
+    media_tbl = pa.table(
+        {
+            "media_ref": pa.array(media_refs, pa.string()),
+            "content": pa.array(media_blobs, pa.binary()),
+            "file_size": pa.array([len(b) for b in media_blobs], pa.int32()),
+            "mime_type": pa.array(["image/simg"] * len(media_blobs), pa.string()),
+            "width": pa.array([None] * len(media_blobs), pa.int32()),
+            "height": pa.array([None] * len(media_blobs), pa.int32()),
+        }
+    )
+    golden_tbl = pa.table(
+        {"doc_id": pa.array(doc_ids, pa.string()), "spans": pa.array(golden_rows, pa.list_(out_span_t))}
+    )
+
+    paths = {
+        "documents": os.path.join(out_dir, "documents.parquet"),
+        "media": os.path.join(out_dir, "media.parquet"),
+        "golden": os.path.join(out_dir, "golden.parquet"),
+    }
+    pq.write_table(docs_tbl, paths["documents"])
+    pq.write_table(media_tbl, paths["media"])
+    pq.write_table(golden_tbl, paths["golden"])
+    return paths
+
+
+def ensure_dataset(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str]:
+    """Generate once, reuse across test sessions (content is a pure
+    function of (n_docs, seed), so presence implies validity)."""
+    marker = os.path.join(out_dir, f".complete-{n_docs}-{seed}")
+    paths = {
+        "documents": os.path.join(out_dir, "documents.parquet"),
+        "media": os.path.join(out_dir, "media.parquet"),
+        "golden": os.path.join(out_dir, "golden.parquet"),
+    }
+    if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
+        return paths
+    paths = generate(out_dir, n_docs, seed)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return paths
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--n-docs", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=42)
+    a = ap.parse_args()
+    print(generate(a.out_dir, a.n_docs, a.seed))

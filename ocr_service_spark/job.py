@@ -1,0 +1,63 @@
+"""spark-submit entry point for the extraction job.
+
+Usage (cluster):
+    spark-submit --py-files ocr_service_spark.zip -m ocr_service_spark.job ...
+Locally:
+    python -m ocr_service_spark.job --data-dir DIR --out-dir DIR [--master local[32]]
+
+Reads documents.parquet + media.parquet from --data-dir, runs the
+checkpointed extraction pipeline, writes extracted/ + _checkpoint/ under
+--out-dir, prints a one-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from .config import ExtractConfig
+from .pipeline.checkpoint import run_resumable
+from .pipeline.extract import load_inputs
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ocr_service_spark.job")
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--master", default=None, help="e.g. local[8]; default local[$SPARK_GRAFT_CPUS]")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--confidence-low", type=float, default=None)
+    ap.add_argument("--accepted-qr-formats", default=None, help="CSV, e.g. fiscal,url")
+    args = ap.parse_args(argv)
+
+    kwargs = {}
+    if args.confidence_low is not None:
+        kwargs["confidence_low"] = args.confidence_low
+    if args.accepted_qr_formats:
+        kwargs["accepted_qr_formats"] = tuple(args.accepted_qr_formats.split(","))
+    cfg = ExtractConfig(run_id=args.run_id or f"run-{int(time.time())}", **kwargs)
+
+    spark = get_spark(app_name="ocr-extract", master=args.master)
+    t0 = time.time()
+    docs, media = load_inputs(spark, args.data_dir)
+    stats = run_resumable(spark, docs, media, args.out_dir, cfg, n_buckets=args.n_buckets)
+    wall = time.time() - t0
+    summary = {
+        "run_id": cfg.run_id,
+        "processed_docs": stats["processed_docs"],
+        "processed_buckets": stats["processed_buckets"],
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(stats["processed_docs"] / wall, 2) if wall > 0 else None,
+        "out_dir": args.out_dir,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

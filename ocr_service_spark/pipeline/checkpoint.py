@@ -1,0 +1,114 @@
+"""Checkpointed, idempotently-resumable runs.
+
+Replaces the reference's queue-retry machinery (BullMQ attempts ×3 —
+reference services/gateway/src/platform/queue/index.ts:29-34) with the
+batch-native equivalent (SURVEY.md §4): documents hash into a fixed set
+of buckets; each run processes only buckets not yet marked completed in
+the checkpoint table (anti-join), writes output partitioned by bucket
+with dynamic partition overwrite (idempotent re-write), and only then
+appends the bucket's lineage row. A crash between the two steps just
+re-does the bucket — byte-identical, no duplicates.
+
+Checkpoint row layout follows FIXTURES.md §4 (the batch analog of the
+reference event stream, events/map.ts:1-60, and its prometheus metrics,
+aligner/src/observability/metrics.py:5-33).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.utils import AnalysisException
+
+from ..config import ExtractConfig
+from .extract import run_extract
+
+DEFAULT_BUCKETS = 64
+
+
+def bucket_expr(n_buckets: int):
+    """Stable doc_id → bucket (xxhash64 is seed-fixed in Spark)."""
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+
+
+def read_completed_buckets(spark: SparkSession, ckpt_path: str) -> DataFrame | None:
+    try:
+        ckpt = spark.read.parquet(ckpt_path)
+    except AnalysisException:
+        return None
+    return (
+        ckpt.filter(F.col("status") == "completed")
+        .select(F.col("partition_key").cast("int").alias("bucket"))
+        .distinct()
+    )
+
+
+def run_resumable(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> dict:
+    """Run extraction for all not-yet-completed buckets.
+
+    Returns {"processed_docs": n, "processed_buckets": k}.
+    """
+    cfg = cfg or ExtractConfig()
+    out_path = f"{out_dir}/extracted"
+    ckpt_path = f"{out_dir}/_checkpoint"
+
+    docs_b = docs.withColumn("bucket", bucket_expr(n_buckets))
+    done = read_completed_buckets(spark, ckpt_path)
+    todo = docs_b.join(done, "bucket", "left_anti") if done is not None else docs_b
+
+    if todo.limit(1).isEmpty():
+        return {"processed_docs": 0, "processed_buckets": 0}
+
+    output, _metrics = run_extract(spark, todo, media, cfg)
+    output_b = output.withColumn("bucket", bucket_expr(n_buckets))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    output_b.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+
+    # lineage rows AFTER the data is durably written (crash-safe ordering)
+    written = spark.read.parquet(out_path).withColumn("bucket", bucket_expr(n_buckets))
+    if done is not None:
+        written = written.join(done, "bucket", "left_anti")
+    ocr_chars = F.aggregate(
+        F.filter("spans", lambda s: s["kind"].isin("qr", "media_text")),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.coalesce(F.length(s["text"]).cast("long"), F.lit(0)),
+    )
+    lineage = (
+        written.select("bucket", F.size("spans").alias("n_spans"), ocr_chars.alias("oc"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_spans").alias("spans"),
+            F.sum("oc").alias("ocr_chars"),
+        )
+        .select(
+            F.lit(cfg.run_id).alias("run_id"),
+            F.col("bucket").cast("string").alias("partition_key"),
+            F.lit("completed").alias("status"),
+            "docs",
+            "spans",
+            "ocr_chars",
+            F.lit(None).cast("double").alias("kernel_ms_p50"),
+            F.lit(None).cast("double").alias("kernel_ms_max"),
+            F.lit(1).alias("attempt"),
+            F.lit(None).cast("string").alias("error"),
+            F.current_timestamp().alias("completed_at"),
+        )
+    )
+    lineage.write.mode("append").parquet(ckpt_path)
+
+    stats = todo.agg(
+        F.count("*").alias("d"), F.countDistinct("bucket").alias("b")
+    ).collect()[0]
+    return {"processed_docs": stats["d"], "processed_buckets": stats["b"]}
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/extracted").drop("bucket")

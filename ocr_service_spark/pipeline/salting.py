@@ -1,0 +1,44 @@
+"""Cost-aware salted repartitioning for the media (OCR) stage.
+
+The reference has no skew handling (its queue randomizes order —
+SURVEY.md §4); at 10^12-doc scale, media-heavy documents (1% of docs can
+hold ~30% of media bytes, FIXTURES.md §1) would straggle an OCR stage
+partitioned by doc. Strategy, per the north rule "salted repartitioning
+by estimated decode cost":
+
+1. estimate per-row decode cost = blob byte size (decode + warp +
+   binarize are all ~linear in pixels ≈ bytes for raw-gray blobs);
+2. pick the partition count from total cost / TARGET_BYTES_PER_TASK so a
+   task's expected cost is bounded regardless of scale factor;
+3. salt rows uniformly (xxhash64 of media_ref — stable, key-independent)
+   so heavy blobs scatter instead of hashing to the partition of their
+   parent doc.
+
+AQE (skewJoin + coalescePartitions) stays on as the runtime backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import TARGET_BYTES_PER_TASK
+
+
+def cost_salted_repartition(
+    media_rows: DataFrame,
+    size_col: str = "file_size",
+    salt_col: str = "media_ref",
+    min_partitions: int = 8,
+    max_partitions: int = 4096,
+    target_bytes_per_task: int = TARGET_BYTES_PER_TASK,
+) -> DataFrame:
+    """Repartition media rows so per-task decode cost is balanced.
+
+    One lightweight aggregate action (sum of an int64 column, served from
+    parquet statistics-friendly scan) sizes the stage; the repartition
+    itself is a single round-robin-by-hash shuffle.
+    """
+    total = media_rows.agg(F.sum(size_col).alias("b")).collect()[0]["b"] or 0
+    n = int(min(max_partitions, max(min_partitions, (total // target_bytes_per_task) + 1)))
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n)).alias("__salt")
+    return media_rows.repartition(n, salt)

@@ -1,0 +1,164 @@
+"""Media kernel: codec, QR semantics, cascade gating (FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_service_spark.config import MAX_MEDIA_BYTES
+from ocr_service_spark.kernels.media import (
+    StubRecognizer,
+    classify_qr_format,
+    decode_simg,
+    encode_simg,
+    extract_media_span,
+    run_cascade,
+    try_qr,
+    validate_media,
+)
+
+
+def _blob(conf=None, lines=None, qr=None, w=48, h=64, brightness=150, quad=True):
+    rng = np.random.default_rng(1)
+    pixels = np.clip(rng.normal(brightness, 10, (h, w)), 0, 255).astype(np.uint8)
+    meta = {
+        "w": w,
+        "h": h,
+        "lines": lines if lines is not None else ["alpha beta", "gamma"],
+        "conf": conf
+        or {
+            "tesseract_preprocessed": 0.9,
+            "paddleocr_preprocessed": 0.8,
+            "paddleocr_warped": 0.7,
+        },
+    }
+    if quad:
+        meta["quad"] = [[5, 5], [w - 5, 5], [w - 5, h - 5], [5, h - 5]]
+    if qr:
+        meta["qr"] = qr
+    return encode_simg(meta, pixels)
+
+
+# --- codec / validation -------------------------------------------------------
+
+def test_simg_roundtrip():
+    blob = _blob()
+    meta, px = decode_simg(blob)
+    assert meta["w"] == 48 and px.shape == (64, 48)
+
+
+def test_validate_media_gates():
+    # reference ocr.ts:42-49 — type + 10 MiB size gate
+    assert validate_media(None) == "empty media"
+    assert validate_media(b"") == "empty media"
+    assert validate_media(b"GIF89a") == "unsupported media type"
+    assert validate_media(b"SIMG1\n" + b"x" * MAX_MEDIA_BYTES) == "media exceeds 10 MiB"
+    assert validate_media(_blob()) is None
+
+
+# --- QR classification (processor.ts:341-355) ----------------------------------
+
+@pytest.mark.parametrize(
+    "data,fmt",
+    [
+        ("t=20240101&s=12.00&fn=12345&fp=67890", "fiscal"),
+        ("xx&fn=999", "fiscal"),
+        ("t=1&s=2&fp=3", "fiscal"),
+        ("https://example.com/x", "url"),
+        ("http://example.com/x", "url"),
+        ("hello", "unknown"),
+        ("t=1&s=2", "unknown"),  # needs all three of t=, s=, fp=
+    ],
+)
+def test_classify_qr_format(data, fmt):
+    assert classify_qr_format(data) == fmt
+
+
+def test_qr_prefers_warped_then_preprocessed():
+    # reference processor.ts:278-339 — warped attempted first
+    meta = {"qr": {"data": "https://a", "location": [1, 2, 3, 4], "in_warped": True, "in_preprocessed": True}}
+    hit = try_qr(meta, None)
+    assert hit["found_in_preprocessed"] is False
+    meta["qr"]["in_warped"] = False
+    hit = try_qr(meta, None)
+    assert hit["found_in_preprocessed"] is True
+    meta["qr"]["in_preprocessed"] = False
+    assert try_qr(meta, None) is None
+
+
+def test_qr_format_filter():
+    meta = {"qr": {"data": "hello", "location": [0, 0, 1, 1], "in_warped": True}}
+    assert try_qr(meta, ("fiscal",)) is None  # found but filtered → OCR path
+    assert try_qr(meta, ("unknown",))["qr_format"] == "unknown"
+
+
+# --- cascade (processor.ts:366-477) --------------------------------------------
+
+def _meta(ct, cp, cw, lines=("one two", "three")):
+    return {
+        "lines": list(lines),
+        "conf": {
+            "tesseract_preprocessed": ct,
+            "paddleocr_preprocessed": cp,
+            "paddleocr_warped": cw,
+        },
+    }
+
+
+IMG = np.zeros((4, 4), np.uint8)
+
+
+def test_cascade_first_attempt_wins_at_threshold():
+    res = run_cascade(_meta(0.6, 0.9, 0.9), IMG, IMG, 0.6, StubRecognizer())
+    assert res.engine == "tesseract" and res.used_preprocessed
+    assert res.text == "one two three"  # ' '.join of tokens (tesseract.py:111)
+
+
+def test_cascade_below_threshold_falls_through():
+    res = run_cascade(_meta(0.59, 0.61, 0.9), IMG, IMG, 0.6, StubRecognizer())
+    assert res.engine == "paddleocr" and res.used_preprocessed
+    assert res.text == "one two\nthree"  # '\n'.join (paddleocr ocr.py:139)
+
+
+def test_cascade_third_attempt():
+    res = run_cascade(_meta(0.1, 0.2, 0.8), IMG, IMG, 0.6, StubRecognizer())
+    assert res.engine == "paddleocr" and not res.used_preprocessed
+
+
+def test_cascade_all_below_returns_last_low_confidence():
+    # reference processor.ts:443-474 — last-resort result, not an error
+    res = run_cascade(_meta(0.1, 0.2, 0.3), IMG, IMG, 0.6, StubRecognizer())
+    assert res.engine == "paddleocr" and not res.used_preprocessed
+    assert res.confidence == 0.3
+
+
+def test_tesseract_empty_tokens_conf_zero():
+    # tesseract.py:114 — empty token set → confidence 0.0
+    res = run_cascade(_meta(0.9, 0.9, 0.9, lines=()), IMG, IMG, 0.6, StubRecognizer())
+    assert res.text == "" and res.engine == "paddleocr"  # tess conf forced 0
+
+
+# --- end-to-end single span ----------------------------------------------------
+
+def test_extract_media_qr_short_circuit():
+    blob = _blob(qr={"data": "https://r.example/1", "location": [1, 1, 9, 9], "in_warped": True})
+    res = extract_media_span(blob, 0.6, None)
+    assert res["kind"] == "qr" and res["text"] == "https://r.example/1"
+    assert res["qr_format"] == "url"
+
+
+def test_extract_media_ocr_path():
+    res = extract_media_span(_blob(), 0.6, None)
+    assert res["kind"] == "media_text"
+    assert res["engine"] == "tesseract"
+    assert res["text"] == "alpha beta gamma"
+
+
+def test_extract_media_invalid_blob_failed_status():
+    res = extract_media_span(b"\x00\x01", 0.6, None)
+    assert res["status"] == "failed" and res["text"] is None
+
+
+def test_extract_media_no_quad_uses_bbox_fallback():
+    res = extract_media_span(_blob(quad=False), 0.6, None)
+    assert res["status"] == "completed"

@@ -1,0 +1,61 @@
+"""Checkpoint/resume: idempotency and complement-only processing
+(FIXTURES.md §4; SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.config import ExtractConfig
+from ocr_service_spark.pipeline.checkpoint import read_output, run_resumable
+from ocr_service_spark.pipeline.extract import load_inputs
+
+N_BUCKETS = 8
+
+
+def _seqs(rows):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for r in rows
+    }
+
+
+def test_resume_processes_only_complement(spark, dataset, tmp_path):
+    data_dir = os.path.dirname(dataset["documents"])
+    docs, media = load_inputs(spark, data_dir)
+    out_dir = str(tmp_path / "run")
+    cfg = ExtractConfig(run_id="r1")
+
+    n_docs = docs.count()
+
+    # first run: everything
+    s1 = run_resumable(spark, docs, media, out_dir, cfg, n_buckets=N_BUCKETS)
+    assert s1["processed_docs"] == n_docs
+    assert s1["processed_buckets"] == N_BUCKETS
+
+    # second run: checkpoint says complete → no work
+    s2 = run_resumable(spark, docs, media, out_dir, cfg, n_buckets=N_BUCKETS)
+    assert s2 == {"processed_docs": 0, "processed_buckets": 0}
+
+    # sabotage: drop half the checkpoint rows (simulates dying mid-run)
+    ckpt_path = f"{out_dir}/_checkpoint"
+    ckpt = spark.read.parquet(ckpt_path).collect()
+    kept = [r for r in ckpt if int(r["partition_key"]) < N_BUCKETS // 2]
+    import shutil
+
+    shutil.rmtree(ckpt_path)
+    from ocr_service_spark.schemas import CHECKPOINT_SCHEMA
+
+    spark.createDataFrame(kept, CHECKPOINT_SCHEMA).write.parquet(ckpt_path)
+
+    s3 = run_resumable(spark, docs, media, out_dir, cfg, n_buckets=N_BUCKETS)
+    assert 0 < s3["processed_docs"] < n_docs
+    assert s3["processed_buckets"] == N_BUCKETS - len(kept)
+
+    # final output == golden, no duplicates
+    out = read_output(spark, out_dir)
+    assert out.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    got = _seqs(out.collect())
+    golden = _seqs(spark.read.parquet(dataset["golden"]).collect())
+    assert got == golden
