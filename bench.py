@@ -1,0 +1,121 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ..., "extract": {...}}.
+
+The extraction pipeline benches on the engine's own deterministic
+synthetic interleaved-document dataset (scaled off sf), reporting
+docs/sec and OCR chars/sec — the BASELINE.json headline metric.
+Scaling-efficiency evidence (N vs 4N cores) is produced separately by
+tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "segment_order_stats",
+    "status_rollup",
+    "first_event_per_user",
+    "running_quantity",
+    "span_explode_reassemble",
+    "token_stats",
+    "quality_scores",
+    "langid_heuristic",
+    "minhash_lsh_buckets",
+    "simhash_histogram",
+    "ngram_jaccard_pairs",
+    "embedding_neardup",
+    "knn_bruteforce",
+    "ann_lsh_probe",
+    "sessionization",
+    "event_props_json",
+]
+
+# synthetic extraction corpus size per sf of the driver tables
+_EXTRACT_DOCS = {"0.001": 200, "0.01": 600, "0.1": 2000}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from ocr_service_spark import queries as registry
+    from ocr_service_spark.config import ExtractConfig
+    from ocr_service_spark.datagen import ensure_dataset
+    from ocr_service_spark.pipeline.extract import load_inputs, run_extract
+    from ocr_service_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.range(1000).count()  # JVM warmup
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- extraction pipeline (the headline metric) ---
+    n_docs = _EXTRACT_DOCS.get(sf, 600)
+    ds_dir = os.path.join(REPO, ".data", f"bench-ds-{n_docs}")
+    ensure_dataset(ds_dir, n_docs, seed=42)
+    docs, media = load_inputs(spark, ds_dir)
+    docs = docs.persist()
+    n = docs.count()  # materialize input outside the timed section
+
+    out_tmp = tempfile.mkdtemp(prefix="bench-extract-")
+    t0 = time.time()
+    output, metrics = run_extract(spark, docs, media, ExtractConfig(run_id="bench"))
+    output.write.mode("overwrite").parquet(f"{out_tmp}/extracted")
+    extract_wall = time.time() - t0
+    ocr_chars = metrics.agg(F.sum("ocr_chars")).collect()[0][0] or 0
+    total_chars = (
+        spark.read.parquet(f"{out_tmp}/extracted")
+        .select(F.explode("spans").alias("s"))
+        .agg(F.sum(F.length("s.text"))).collect()[0][0]
+        or 0
+    )
+    shutil.rmtree(out_tmp, ignore_errors=True)
+    docs.unpersist()
+    timings["extract_pipeline"] = round(extract_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract": {
+            "n_docs": n,
+            "wall_sec": round(extract_wall, 3),
+            "docs_per_sec": round(n / extract_wall, 2),
+            "ocr_chars": int(ocr_chars),
+            "ocr_chars_per_sec": round(ocr_chars / extract_wall, 1),
+            "total_extracted_chars": int(total_chars),
+        },
+        "cpus": int(cpus),
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,292 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket),
+SimHash (portable hex-nibble bit extraction), n-gram Jaccard self-join,
+and embedding-cosine near-dup — all expressed as declarative plans
+(shuffle on shingle/bucket keys, map-side distinct first) with DuckDB
+oracles.
+
+Scale notes: every self-join here is blocked (by band bucket, label, or
+shingle) so candidate generation is O(docs × shingles), never O(docs²);
+at 100 TB the band-bucket join is the standard MinHash-LSH layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import load
+
+N_MINHASHES = 4
+CHAR_SHINGLE = 5
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper_doc"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias("n_dropped"),
+        )
+    )
+
+
+_ORACLE_EXACT = """
+SELECT count(*) AS n_unique,
+       sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dropped
+FROM (SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY 1)
+"""
+
+
+# --- MinHash signatures + LSH bands ----------------------------------------------
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # positional substring needs a column start → SQL expr form
+    shingles = F.array_distinct(
+        F.expr(f"transform(sequence(1, greatest(length(text) - {CHAR_SHINGLE - 1}, 1)), i -> substring(text, i, {CHAR_SHINGLE}))")
+    )
+    return docs.select("doc_id", F.explode(shingles).alias("sh"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _shingles_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"m{k}")
+        for k in range(N_MINHASHES)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(md5(concat('{k}:', sh))) AS m{k}" for k in range(N_MINHASHES)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(length(text) - {CHAR_SHINGLE - 1}, 1) + 1),
+           i -> substring(text, i, {CHAR_SHINGLE})))) AS sh
+  FROM documents
+)
+SELECT doc_id,
+       {mins}
+FROM shingled
+GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band the 4-hash signature into 2 bands of 2; histogram bucket sizes.
+    Bucket sizes > 1 are the near-dup candidate sets."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", "m0", "m1")).alias("b0"),
+        F.md5(F.concat_ws("|", "m2", "m3")).alias("b1"),
+    )
+    stacked = bands.selectExpr("stack(2, 0, b0, 1, b1) as (band, bucket)")
+    return (
+        stacked.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("band", "bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+    )
+
+
+_ORACLE_LSH = f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS (
+  SELECT 0 AS band, md5(concat(m0, '|', m1)) AS bucket FROM sig
+  UNION ALL
+  SELECT 1 AS band, md5(concat(m2, '|', m3)) AS bucket FROM sig
+),
+sizes AS (SELECT band, bucket, count(*) AS bucket_size FROM bands GROUP BY 1, 2)
+SELECT band, bucket_size, count(*) AS n_buckets FROM sizes GROUP BY 1, 2
+"""
+
+
+# --- SimHash (16-bit, portable nibble bit test) -----------------------------------
+
+_BIT_SETS = {
+    3: "89abcdef",
+    2: "4567cdef",
+    1: "2367abef",
+    0: "13579bdf",
+}
+
+
+def _simhash_bits_spark(token_hash):
+    """±1 contributions for 16 bits from the first 4 hex chars."""
+    cols = []
+    for pos in range(1, 5):
+        c = F.substring(token_hash, pos, 1)
+        for bit, members in _BIT_SETS.items():
+            cols.append(
+                F.when(c.isin(*list(members)), 1).otherwise(-1).alias(f"s_{pos}_{bit}")
+            )
+    return cols
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over word tokens; returns hash-value histogram."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    contrib = toks.select("doc_id", *_simhash_bits_spark(F.col("h")))
+    sums = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"s_{p}_{b}").alias(f"t_{p}_{b}") for p in range(1, 5) for b in (3, 2, 1, 0)]
+    )
+    weight = {(p, b): 2 ** ((4 - p) * 4 + b) for p in range(1, 5) for b in (3, 2, 1, 0)}
+    simhash = None
+    for (p, b), w in weight.items():
+        term = F.when(F.col(f"t_{p}_{b}") > 0, w).otherwise(0)
+        simhash = term if simhash is None else (simhash + term)
+    return (
+        sums.select(simhash.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _simhash_sql() -> str:
+    terms = []
+    for p in range(1, 5):
+        for b, members in _BIT_SETS.items():
+            inlist = ",".join(f"'{ch}'" for ch in members)
+            w = 2 ** ((4 - p) * 4 + b)
+            terms.append(
+                f"CASE WHEN sum(CASE WHEN substring(h, {p}, 1) IN ({inlist}) THEN 1 ELSE -1 END) > 0 THEN {w} ELSE 0 END"
+            )
+    expr = " + ".join(terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h
+  FROM documents
+),
+hashes AS (SELECT doc_id, {expr} AS simhash FROM toks GROUP BY doc_id)
+SELECT simhash, count(*) AS n_docs FROM hashes GROUP BY simhash
+"""
+
+
+# --- n-gram Jaccard ---------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard similarity for same-lang doc pairs sharing ≥1
+    trigram; returns pairs above 0.05 (histogram by rounded bin).
+    Shingle self-join is the blocking step — no doc×doc cross join."""
+    docs = load(spark, sf_dir, "documents")
+    tri = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+    )
+    ex = docs.select("doc_id", "lang", F.explode(tri).alias("g"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("c"))
+    )
+    jac = (
+        common.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn("jaccard", F.col("c") / (F.col("sz1") + F.col("sz2") - F.col("c")))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+    return jac.groupBy(F.round("jaccard", 2).alias("jaccard_bin")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+_ORACLE_JACCARD = """
+WITH ex AS (
+  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS g
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT c.c / CAST(s1.sz + s2.sz - c.c AS DOUBLE) AS jaccard
+  FROM common c JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
+)
+SELECT round(jaccard, 2) AS jaccard_bin, count(*) AS n_pairs
+FROM jac WHERE jaccard >= 0.05 GROUP BY 1
+"""
+
+
+# --- embedding cosine near-dup ------------------------------------------------------
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with cosine ≥ 0.3 inside the same label block (label is the
+    blocking key; at scale the block would be an LSH/IVF bucket)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    emb = emb.withColumn("nrm", norm)
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.label").alias("label"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+    )
+    return pairs.groupBy("label").agg(F.count("*").alias("n_neardup_pairs"))
+
+
+_ORACLE_EMB_NEARDUP = """
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.label,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, count(*) AS n_neardup_pairs FROM pairs WHERE cos >= 0.3 GROUP BY label
+"""
+
+
+QUERIES = {
+    "exact_dup_clusters": q_exact_dup_clusters,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_buckets": q_minhash_lsh_buckets,
+    "simhash_histogram": q_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLES = {
+    "exact_dup_clusters": _ORACLE_EXACT,
+    "minhash_signatures": _minhash_sql(),
+    "minhash_lsh_buckets": _ORACLE_LSH,
+    "simhash_histogram": _simhash_sql(),
+    "ngram_jaccard_pairs": _ORACLE_JACCARD,
+    "embedding_neardup": _ORACLE_EMB_NEARDUP,
+}

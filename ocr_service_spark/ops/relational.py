@@ -1,0 +1,357 @@
+"""Relational/dataflow operators (SURVEY.md §2.4 Q1-Q10 + §2.5).
+
+The reference's implicit relational surface — FK joins, projections,
+status counts, rollups, top-N, dedup-by-window — re-expressed as
+declarative DataFrame plans so Catalyst handles pushdown, join
+strategy, and partial aggregation. Broadcast hints are applied where a
+dimension side is small by construction (customer/supplier vs orders/
+lineitem), mirroring what a 100 TB run needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from . import load
+
+
+# Q1-style aggregation (pricing summary): groupBy + 8 partial-aggregable
+# aggs — map-side combine makes this shuffle-light at any scale.
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# FK join images↔recognitions analog (Q2): dim side broadcast.
+def q_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+_ORACLE_SEGMENT = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# 3-way join + top-N (TPC-H Q3 shape).
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", F.col("o_orderdate").cast("string").alias("orderdate"), "revenue")
+    )
+
+
+_ORACLE_SHIPPING = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# group-by-status stats with rollup total (visualizer fold, Q5;
+# reference services/visualizer/src/event_listener.py:156-167)
+def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("__total__")).alias("event_type"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT coalesce(event_type, '__total__') AS event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type)
+"""
+
+
+# filter + order-by + limit (job list, Q6;
+# reference event_listener.py:124-149)
+def q_top_error_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(20)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )
+
+
+_ORACLE_TOP_ERRORS = """
+SELECT event_id, user_id, round(value, 2) AS value
+FROM events
+WHERE event_type = 'error'
+ORDER BY value DESC, event_id
+LIMIT 20
+"""
+
+
+# dedup + ordered reassembly (pipeline view, Q7;
+# reference services/visualizer/src/ui/pipeline_view.py:79-101)
+def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+_ORACLE_FIRST_EVENT = """
+SELECT user_id, event_id, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+# anti join: the checkpoint-resume primitive (SURVEY.md §2.5 "Joins").
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+_ORACLE_ANTI = """
+SELECT count(*) AS n_customers_without_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# semi join.
+def q_parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+_ORACLE_SEMI = """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+
+# window running aggregate (needed for ordered reassembly patterns).
+def q_running_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "running_qty",
+            F.round(F.sum("l_quantity").over(w.rowsBetween(W.unboundedPreceding, 0)), 2),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "rn", "running_qty")
+    )
+
+
+_ORACLE_RUNNING = """
+SELECT l_suppkey, rn, running_qty
+FROM (
+  SELECT l_suppkey,
+         row_number() OVER w AS rn,
+         round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+)
+WHERE rn <= 3
+"""
+
+
+# QR payload format classification (R4, pure string predicates —
+# reference services/gateway/src/services/processor.ts:341-355) applied
+# to deterministic synthetic payloads derived from orders.
+_PAYLOAD_EXPR = """
+CASE o_orderkey % 4
+  WHEN 0 THEN concat('t=2024&s=', o_custkey, '&fn=', o_orderkey, '&fp=1')
+  WHEN 1 THEN concat('https://shop.example/r/', o_orderkey)
+  WHEN 2 THEN concat('t=2024&s=', o_custkey)
+  ELSE o_orderpriority
+END
+"""
+
+
+def q_qr_format_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    payload = F.expr(_PAYLOAD_EXPR)
+    fmt = (
+        F.when(
+            payload.contains("fn=")
+            | (payload.contains("t=") & payload.contains("s=") & payload.contains("fp=")),
+            "fiscal",
+        )
+        .when(payload.startswith("http://") | payload.startswith("https://"), "url")
+        .otherwise("unknown")
+    )
+    return orders.select(fmt.alias("qr_format")).groupBy("qr_format").agg(
+        F.count("*").alias("n")
+    )
+
+
+_ORACLE_QR = f"""
+WITH payloads AS (SELECT {_PAYLOAD_EXPR} AS p FROM orders)
+SELECT CASE
+         WHEN contains(p, 'fn=') OR (contains(p, 't=') AND contains(p, 's=') AND contains(p, 'fp=')) THEN 'fiscal'
+         WHEN starts_with(p, 'http://') OR starts_with(p, 'https://') THEN 'url'
+         ELSE 'unknown'
+       END AS qr_format,
+       count(*) AS n
+FROM payloads
+GROUP BY 1
+"""
+
+
+# span explode → ordered reassembly, the structural core of the
+# extraction pipeline (Q7 pattern: sort_array(collect_list(struct(...))))
+# expressed on the driver's documents table: split text into word spans,
+# explode with position, reassemble in REVERSE order.
+def q_span_explode_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    return (
+        words.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.reverse(F.array_sort(F.collect_list(F.struct("pos", "word")))).word,
+                " ",
+            ).alias("reversed_text"),
+            F.count("*").alias("n_spans"),
+        )
+    )
+
+
+_ORACLE_REASSEMBLE = """
+SELECT doc_id,
+       string_agg(word, ' ' ORDER BY pos DESC) AS reversed_text,
+       count(*) AS n_spans
+FROM (
+  SELECT doc_id, u.word, u.pos
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos) u
+)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "segment_order_stats": q_segment_order_stats,
+    "shipping_priority": q_shipping_priority,
+    "status_rollup": q_status_rollup,
+    "top_error_events": q_top_error_events,
+    "first_event_per_user": q_first_event_per_user,
+    "customers_without_orders": q_customers_without_orders,
+    "parts_with_lineitems": q_parts_with_lineitems,
+    "running_quantity": q_running_quantity,
+    "qr_format_classify": q_qr_format_classify,
+    "span_explode_reassemble": q_span_explode_reassemble,
+}
+
+ORACLES = {
+    "pricing_summary": _ORACLE_PRICING,
+    "segment_order_stats": _ORACLE_SEGMENT,
+    "shipping_priority": _ORACLE_SHIPPING,
+    "status_rollup": _ORACLE_ROLLUP,
+    "top_error_events": _ORACLE_TOP_ERRORS,
+    "first_event_per_user": _ORACLE_FIRST_EVENT,
+    "customers_without_orders": _ORACLE_ANTI,
+    "parts_with_lineitems": _ORACLE_SEMI,
+    "running_quantity": _ORACLE_RUNNING,
+    "qr_format_classify": _ORACLE_QR,
+    "span_explode_reassemble": _ORACLE_REASSEMBLE,
+}

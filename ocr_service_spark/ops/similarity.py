@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k (the exact baseline) and a sign-LSH bucketed
+variant (the scale path: candidates come from one bucket, so the scan is
+1/2^bits of the table per query). Dot products run JVM-side via
+``zip_with``/``aggregate`` higher-order functions — no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import load
+
+TOP_K = 10
+LSH_BITS = 6
+QUERY_VEC_ID = 0
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-K neighbors of QUERY_VEC_ID by cosine; returns (rank,
+    vec_id) — float similarity deliberately excluded from the output so
+    the check is engine-precision-independent."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), _norm("v").alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", (dot / (_norm("v") * F.col("qn"))).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.desc("cos"), "vec_id")
+        .limit(TOP_K)
+        .select(
+            F.row_number().over(Window.orderBy(F.desc("cos"), "vec_id")).alias("rank"),
+            "vec_id",
+        )
+    )
+
+
+_ORACLE_KNN = f"""
+WITH q AS (
+  SELECT embedding AS qv,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != {QUERY_VEC_ID}
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id) AS rank, vec_id
+FROM scored
+ORDER BY cos DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+def _bucket_expr_spark(col):
+    parts = [
+        F.when(F.element_at(col, i) >= 0, "+").otherwise("-") for i in range(1, LSH_BITS + 1)
+    ]
+    return F.concat(*parts)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing (hyperplanes = first LSH_BITS coordinate axes;
+    deterministic, no stored model). Bucket histogram — the candidate-set
+    size distribution an ANN probe would scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(_bucket_expr_spark(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+_bucket_sql = " || ".join(
+    f"CASE WHEN embedding[{i}] >= 0 THEN '+' ELSE '-' END" for i in range(1, LSH_BITS + 1)
+)
+
+_ORACLE_ANN_BUCKETS = f"""
+SELECT {_bucket_sql} AS bucket, count(*) AS n_vectors
+FROM embeddings
+GROUP BY 1
+"""
+
+
+def q_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe: exact top-k *within the query's LSH bucket* — the
+    bucketed scale path (scan ≈ n/2^bits instead of n)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+        _bucket_expr_spark(F.col("embedding")).alias("bucket"),
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), _norm("v").alias("qn"), F.col("bucket").alias("qb")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", (dot / (_norm("v") * F.col("qn"))).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.desc("cos"), "vec_id")
+        .limit(TOP_K)
+        .select(
+            F.row_number().over(Window.orderBy(F.desc("cos"), "vec_id")).alias("rank"),
+            "vec_id",
+        )
+    )
+
+
+_ORACLE_ANN_PROBE = f"""
+WITH b AS (SELECT vec_id, embedding, {_bucket_sql} AS bucket FROM embeddings),
+q AS (
+  SELECT embedding AS qv, bucket AS qb,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+  FROM b WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn) AS cos
+  FROM b e, q
+  WHERE e.bucket = q.qb AND e.vec_id != {QUERY_VEC_ID}
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id) AS rank, vec_id
+FROM scored
+ORDER BY cos DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+def q_label_centroid_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid: cluster sizes + centroid dimension count
+    (element-wise mean via posexplode + groupBy; no driver loops)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(_as_double("embedding")).alias("dim", "x")
+    )
+    centroid = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    return (
+        centroid.groupBy("label")
+        .agg(F.count("*").alias("n_dims"))
+        .join(
+            emb.groupBy("label").agg(F.count("*").alias("n_vectors")),
+            "label",
+        )
+    )
+
+
+_ORACLE_CENTROID = """
+WITH dims AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+centroid AS (SELECT label, dim, avg(x) AS c FROM dims GROUP BY 1, 2)
+SELECT c.label, c.n_dims, v.n_vectors
+FROM (SELECT label, count(*) AS n_dims FROM centroid GROUP BY label) c
+JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) v
+  ON c.label = v.label
+"""
+
+
+QUERIES = {
+    "knn_bruteforce": q_knn_bruteforce,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_probe": q_ann_lsh_probe,
+    "label_centroid_sizes": q_label_centroid_sizes,
+}
+
+ORACLES = {
+    "knn_bruteforce": _ORACLE_KNN,
+    "ann_lsh_buckets": _ORACLE_ANN_BUCKETS,
+    "ann_lsh_probe": _ORACLE_ANN_PROBE,
+    "label_centroid_sizes": _ORACLE_CENTROID,
+}

@@ -1,0 +1,167 @@
+"""Structured Streaming surface.
+
+The reference's only streaming component is the Redis pub/sub event bus
+(reference services/gateway/src/platform/events/bus.ts:28-37) folded into
+per-job state by the visualizer (event_listener.py:63-122). Batch covers
+the north rule; this module adds the genuine Structured Streaming
+re-expression: the events table replayed through readStream with
+watermarked tumbling-window aggregation. The windowed query has an exact
+batch/SQL equivalent, so it stays oracle-checkable (time_bucket in
+DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import load, table_path
+
+WINDOW = "5 minutes"
+
+
+def _windowed_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute counts per event_type, executed as a real
+    streaming query over the parquet source (memory sink, drained
+    synchronously). Result is identical to the batch window aggregation."""
+    schema = load(spark, sf_dir, "events").schema
+    # FileStreamSource requires a directory — stage the single parquet file
+    import hashlib
+    import shutil
+    import tempfile
+    import os
+
+    src = table_path(sf_dir, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"stream-events-{hashlib.md5(src.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copyfile(src, dst)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        # parquet stores TIMESTAMP_NTZ; watermarks need an event-time zone
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    name = "windowed_event_counts_sink"
+    q = (
+        _windowed_agg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # materialize before the sink goes away
+    result = spark.sql(f"SELECT * FROM {name}")
+    out = spark.createDataFrame(result.collect(), result.schema)
+    return out
+
+
+_ORACLE_WINDOWED = """
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    session counter per user — the batch equivalent of
+    session_window(ts, gap)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = ev.withColumn("new_s", new_session).withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_ORACLE_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON event payload decode (bus.ts:29-33 → from_json analog)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_ORACLE_PROPS = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "windowed_event_counts": q_windowed_event_counts,
+    "sessionization": q_sessionization,
+    "event_props_json": q_event_props_json,
+}
+
+ORACLES = {
+    "windowed_event_counts": _ORACLE_WINDOWED,
+    "sessionization": _ORACLE_SESSIONS,
+    "event_props_json": _ORACLE_PROPS,
+}

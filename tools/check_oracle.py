@@ -1,0 +1,125 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry and its ``oracle_sql()`` twin (DuckDB) at
+a given sf dir, compares row count, column names, and order-insensitive
+values (floats compared exactly after the queries' own rounding — if
+this mirror passes, the driver's value-hash comparison should too).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # collapse last-ulp noise: 12 significant digits
+        return f"{v:.12g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def run_checks(spark, sf_dir: str, only: set[str] | None = None) -> list[str]:
+    """Run query-vs-oracle comparisons; returns the list of failing names."""
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"  WARN: empty result")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        dcols = list(ddf.columns)
+        drows = list(ddf.itertuples(index=False, name=None))
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        elif len(srows) != len(drows):
+            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
+            ok = False
+        else:
+            sk = rows_key(scols, [tuple(r) for r in srows])
+            dk = rows_key(dcols, drows)
+            if sk != dk:
+                ok = False
+                miss = list((dk - sk).items())[:3]
+                extra = list((sk - dk).items())[:3]
+                print(f"FAIL {name}: value mismatch")
+                for m in miss:
+                    print(f"  oracle-only: {m}")
+                for e in extra:
+                    print(f"  spark-only:  {e}")
+        if ok:
+            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) or None
+
+    from ocr_service_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", master="local[16]")
+    failures = run_checks(spark, sf_dir, only)
+    print(f"\n{len(failures)} failures: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
