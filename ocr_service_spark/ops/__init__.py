@@ -15,3 +15,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load(spark, sf_dir: str, name: str):
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def widen(df):
+    """Spread a narrow scan across all cores before CPU-heavy per-row
+    expressions.
+
+    Local parquet test files are a single row-group → a single input
+    split → one task, which serializes shingling/hashing work that is
+    embarrassingly parallel. At production scale inputs arrive in many
+    splits and this is a no-op (partitions already ≥ parallelism), so the
+    extra shuffle only exists where it buys a ~#cores speedup.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

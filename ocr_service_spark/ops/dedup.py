@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import load
+from . import load, widen
 
 N_MINHASHES = 4
 CHAR_SHINGLE = 5
@@ -46,12 +46,17 @@ FROM (SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents
 # --- MinHash signatures + LSH bands ----------------------------------------------
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(load(spark, sf_dir, "documents"))
     # positional substring needs a column start → SQL expr form
     shingles = F.array_distinct(
         F.expr(f"transform(sequence(1, greatest(length(text) - {CHAR_SHINGLE - 1}, 1)), i -> substring(text, i, {CHAR_SHINGLE}))")
     )
-    return docs.select("doc_id", F.explode(shingles).alias("sh"))
+    # explode_outer, NOT explode: plain explode makes InferFiltersFromGenerate
+    # add a size(..)>0 predicate that Catalyst pushes below the widen()
+    # exchange, re-evaluating the whole shingling expression on the narrow
+    # pre-shuffle side. Outer explode suppresses the inferred filter; the
+    # array is non-empty by construction (greatest(.., 1)) so results match.
+    return docs.select("doc_id", F.explode_outer(shingles).alias("sh"))
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,9 +140,9 @@ def _simhash_bits_spark(token_hash):
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over word tokens; returns hash-value histogram."""
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(load(spark, sf_dir, "documents"))
     toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+        "doc_id", F.explode_outer(F.array_distinct(F.split("text", " "))).alias("tok")
     ).select("doc_id", F.md5("tok").alias("h"))
     contrib = toks.select("doc_id", *_simhash_bits_spark(F.col("h")))
     sums = contrib.groupBy("doc_id").agg(
@@ -180,21 +185,43 @@ SELECT simhash, count(*) AS n_docs FROM hashes GROUP BY simhash
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard similarity for same-lang doc pairs sharing ≥1
     trigram; returns pairs above 0.05 (histogram by rounded bin).
-    Shingle self-join is the blocking step — no doc×doc cross join."""
-    docs = load(spark, sf_dir, "documents")
+
+    Scale shape: group-by-shingle pair generation, NOT a self-join of the
+    exploded trigram table — one scan of the corpus, one shuffle on
+    (lang, trigram), pairs emitted row-locally from each posting list.
+    A frequent-shingle cap (drop buckets larger than `max_bucket`) is the
+    production guard against O(n²) mega-buckets; left unset here so the
+    DuckDB oracle (no cap) matches exactly."""
+    docs = widen(load(spark, sf_dir, "documents"))
+    # materialize the word array in its own projection: inlining it into
+    # the lambda would re-split the text once per trigram (Catalyst only
+    # collapses projections when the duplicated expression is cheap)
+    words = docs.select("doc_id", "lang", F.split("text", " ").alias("ws"))
     tri = F.expr(
-        "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+        "array_distinct(transform(sequence(1, greatest(size(ws) - 2, 1)),"
+        " i -> concat_ws(' ', slice(ws, i, 3))))"
     )
-    ex = docs.select("doc_id", "lang", F.explode(tri).alias("g"))
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("c"))
+    with_tri = words.select("doc_id", "lang", tri.alias("gs"))
+    # |trigrams| per doc without a second explode pass
+    sizes = with_tri.select("doc_id", F.size("gs").alias("sz"))
+    # explode_outer: see _shingles_df — keeps the inferred size(..)>0 filter
+    # from being pushed below the exchange (gs is non-empty by construction)
+    ex = with_tri.select("doc_id", "lang", F.explode_outer("gs").alias("g"))
+    buckets = (
+        ex.groupBy("lang", "g")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
+    # all ordered pairs within a posting list (d1 < d2 via the sort above)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> transform("
+                "slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS d1, y AS d2))))"
+            )
+        ).alias("p")
+    ).select("p.d1", "p.d2")
+    common = pairs.groupBy("d1", "d2").agg(F.count("*").alias("c"))
     jac = (
         common.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
