@@ -96,6 +96,13 @@ def main() -> int:
     timings["extract_pipeline"] = round(extract_wall, 3)
 
     total = round(sum(timings.values()), 3)
+    # N vs 4N scaling evidence (tools/bench_scaling.py refreshes this file;
+    # embedded so BENCH_r{N}.json carries the north-rule efficiency number)
+    scaling = None
+    scaling_path = os.path.join(REPO, "BENCH_scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            scaling = json.load(fh)
     result = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -111,6 +118,7 @@ def main() -> int:
             "total_extracted_chars": int(total_chars),
         },
         "cpus": int(cpus),
+        "scaling": scaling,
     }
     print(json.dumps(result))
     spark.stop()

@@ -46,8 +46,11 @@ CASCADE_ATTEMPTS = (
 )
 
 # --- Arrow batching ---------------------------------------------------------
-# Rows carry image bytes; keep record batches small (SURVEY.md §4).
-ARROW_MAX_RECORDS_PER_BATCH = 64
+# Two caps, one per row shape (SURVEY.md §4): narrow text rows batch by
+# record count; blob-carrying rows hit the byte cap first so a batch of
+# images never exceeds ~32 MiB in the python worker.
+ARROW_MAX_RECORDS_PER_BATCH = 8192
+ARROW_MAX_BYTES_PER_BATCH = 32 * 1024 * 1024
 
 # --- scale knobs ------------------------------------------------------------
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -68,4 +71,8 @@ class ExtractConfig:
     run_id: str = "run-0"
     # checkpoint table path (parquet dir locally, Iceberg table on cluster)
     checkpoint_path: str | None = None
+    # read blob bytes directly in python workers from (file, row_group)
+    # splits (bytes never enter the JVM); falls back to the Arrow path
+    # when the media frame is not a plain parquet scan
+    direct_blob_read: bool = True
     attempts: tuple[tuple[str, str], ...] = field(default=CASCADE_ATTEMPTS)

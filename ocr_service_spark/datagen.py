@@ -99,8 +99,14 @@ def _make_pdf_span(rng: np.random.Generator) -> str:
     return "\n".join(f"{x}|{y}|{w}|{h}|{t}" for x, y, w, h, t in frags)
 
 
-def _make_media_blob(rng: np.random.Generator, idx: int, heavy: bool) -> bytes:
+def _make_media_blob(
+    rng: np.random.Generator, idx: int, heavy: bool, scale: int = 1
+) -> bytes:
     side = int(rng.integers(384, 768)) if heavy else int(rng.integers(48, 160))
+    # media_scale > 1 → receipt-photo-sized images for benchmarking (the
+    # preprocessing kernels cost ~linear in pixels, like real OCR); cap so
+    # even heavy blobs stay under the 10 MiB ingest gate
+    side = min(side * scale, 2000 if heavy else 1200)
     w, h = side, int(side * float(rng.uniform(1.1, 1.8)))
     brightness = float(rng.uniform(40, 220))  # some < 100 → invert path
     pixels = np.clip(
@@ -146,8 +152,13 @@ def _make_media_blob(rng: np.random.Generator, idx: int, heavy: bool) -> bytes:
     return encode_simg(meta, pixels)
 
 
-def generate(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str]:
-    """Generate documents/media/golden parquet under ``out_dir``."""
+def generate(
+    out_dir: str, n_docs: int, seed: int = 42, media_scale: int = 1
+) -> dict[str, str]:
+    """Generate documents/media/golden parquet under ``out_dir``.
+
+    media_scale multiplies synthetic image dimensions (1 = tiny test
+    images; 4 ≈ receipt-photo pixel counts for realistic bench cost)."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -182,7 +193,7 @@ def generate(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str]:
             offset = int(offsets[slot])
             if kind == "media":
                 ref = f"mem://img/{seed}/{media_idx:08d}"
-                blob = _make_media_blob(rng, media_idx, heavy)
+                blob = _make_media_blob(rng, media_idx, heavy, media_scale)
                 media_refs.append(ref)
                 media_blobs.append(blob)
                 media_lookup[ref] = blob
@@ -223,16 +234,22 @@ def generate(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str]:
         "media": os.path.join(out_dir, "media.parquet"),
         "golden": os.path.join(out_dir, "golden.parquet"),
     }
-    pq.write_table(docs_tbl, paths["documents"])
-    pq.write_table(media_tbl, paths["media"])
-    pq.write_table(golden_tbl, paths["golden"])
+    # small row groups → the files are splittable into parallel scan tasks,
+    # matching how a production table arrives (many files/row groups); a
+    # single-row-group file serializes the first stage of every consumer
+    pq.write_table(docs_tbl, paths["documents"], row_group_size=256)
+    pq.write_table(media_tbl, paths["media"], row_group_size=16)
+    pq.write_table(golden_tbl, paths["golden"], row_group_size=256)
     return paths
 
 
-def ensure_dataset(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str]:
+def ensure_dataset(
+    out_dir: str, n_docs: int, seed: int = 42, media_scale: int = 1
+) -> dict[str, str]:
     """Generate once, reuse across test sessions (content is a pure
     function of (n_docs, seed), so presence implies validity)."""
-    marker = os.path.join(out_dir, f".complete-{n_docs}-{seed}")
+    # v2: layout change (small row groups) — forces regeneration of v1 dirs
+    marker = os.path.join(out_dir, f".complete-v3-{n_docs}-{seed}-{media_scale}")
     paths = {
         "documents": os.path.join(out_dir, "documents.parquet"),
         "media": os.path.join(out_dir, "media.parquet"),
@@ -240,7 +257,7 @@ def ensure_dataset(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str]:
     }
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
         return paths
-    paths = generate(out_dir, n_docs, seed)
+    paths = generate(out_dir, n_docs, seed, media_scale)
     with open(marker, "w") as fh:
         fh.write("ok")
     return paths
@@ -253,5 +270,6 @@ if __name__ == "__main__":
     ap.add_argument("out_dir")
     ap.add_argument("--n-docs", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--media-scale", type=int, default=1)
     a = ap.parse_args()
-    print(generate(a.out_dir, a.n_docs, a.seed))
+    print(generate(a.out_dir, a.n_docs, a.seed, a.media_scale))

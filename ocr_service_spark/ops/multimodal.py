@@ -19,7 +19,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..kernels.media import SIMG_MAGIC, decode_simg
+from ..kernels.media import (
+    SAUD_MAGIC,
+    SIMG_MAGIC,
+    SVID_MAGIC,
+    decode_saud,
+    decode_simg,
+    decode_svid,
+    encode_saud,
+    encode_svid,
+)
 
 _META_SCHEMA = (
     "media_ref string, width int, height int, mean_brightness double, "
@@ -81,6 +90,134 @@ def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def media_thumbnails(media: DataFrame) -> DataFrame:
     return media.select("media_ref", "content").mapInPandas(
         _resize_kernel, schema=_THUMB_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# video: frame sampling (every-kth-frame decode, the clip-level analog of
+# thumbnailing). Real mp4/webm would decode via PyAV/ffmpeg behind the same
+# magic-dispatch; SVID is the deterministic container stand-in.
+# --------------------------------------------------------------------------
+
+FRAME_STRIDE = 3
+
+
+def synthetic_videos(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic synthetic video table, generated executor-side from a
+    range — no driver-side blob materialization, partitions like any scan."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng(7000 + int(i))
+                nf = int(rng.integers(4, 13))
+                h, w = 24, 32
+                frames = rng.integers(0, 256, size=(nf, h, w), dtype=np.uint8)
+                blob = encode_svid({"n_frames": nf, "h": h, "w": w, "fps": 4}, frames)
+                rows.append((f"mem://vid/{int(i):06d}", blob, nf))
+            yield pd.DataFrame(rows, columns=["media_ref", "content", "n_frames"])
+
+    par = spark.sparkContext.defaultParallelism
+    return spark.range(n).repartition(par).mapInPandas(
+        gen, "media_ref string, content binary, n_frames int"
+    )
+
+
+_FRAME_SCHEMA = (
+    "media_ref string, frame_idx int, mean_brightness double, frame_md5 string"
+)
+
+
+def _frame_sample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for ref, blob in zip(pdf["media_ref"], pdf["content"]):
+            b = bytes(blob)
+            if not b.startswith(SVID_MAGIC):
+                rows.append((ref, None, None, None))
+                continue
+            _, frames = decode_svid(b)
+            for idx in range(0, frames.shape[0], FRAME_STRIDE):
+                f = frames[idx]
+                rows.append(
+                    (ref, idx, round(float(f.mean()), 4),
+                     hashlib.md5(f.tobytes()).hexdigest())
+                )
+        yield pd.DataFrame(
+            rows, columns=["media_ref", "frame_idx", "mean_brightness", "frame_md5"]
+        )
+
+
+def video_frame_sample(videos: DataFrame) -> DataFrame:
+    """Sample every FRAME_STRIDE-th frame of each video (1:N explode done
+    inside the Arrow batch — no separate explode shuffle)."""
+    return videos.select("media_ref", "content").mapInPandas(
+        _frame_sample_kernel, schema=_FRAME_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# audio: feature extraction (duration / RMS / zero-crossing rate) — the
+# minimal featurizer a training-data pipeline runs before filtering clips.
+# --------------------------------------------------------------------------
+
+def synthetic_audio(spark: SparkSession, n: int = 64) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng(9000 + int(i))
+                sr = 8000
+                n_samp = int(rng.integers(sr // 2, sr * 3))
+                t = np.arange(n_samp, dtype=np.float64)
+                freq = float(rng.uniform(80, 800))
+                wave = 0.5 * np.sin(2 * np.pi * freq * t / sr)
+                wave += rng.normal(0, 0.05, n_samp)
+                samples = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+                blob = encode_saud({"sr": sr, "n": n_samp}, samples)
+                rows.append((f"mem://aud/{int(i):06d}", blob))
+            yield pd.DataFrame(rows, columns=["media_ref", "content"])
+
+    par = spark.sparkContext.defaultParallelism
+    return spark.range(n).repartition(par).mapInPandas(
+        gen, "media_ref string, content binary"
+    )
+
+
+_AUDIO_SCHEMA = (
+    "media_ref string, duration_sec double, rms double, zero_crossing_rate double"
+)
+
+
+def _audio_feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for ref, blob in zip(pdf["media_ref"], pdf["content"]):
+            b = bytes(blob)
+            if not b.startswith(SAUD_MAGIC):
+                rows.append((ref, None, None, None))
+                continue
+            meta, s = decode_saud(b)
+            x = s.astype(np.float64) / 32768.0
+            zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+            rows.append(
+                (ref,
+                 round(len(x) / meta["sr"], 4),
+                 round(float(np.sqrt(np.mean(x * x))), 6),
+                 round(zc, 6))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["media_ref", "duration_sec", "rms", "zero_crossing_rate"],
+        )
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    return audio.select("media_ref", "content").mapInPandas(
+        _audio_feature_kernel, schema=_AUDIO_SCHEMA
     )
 
 

@@ -6,10 +6,11 @@ the whole gateway→aligner→tesseract/paddle→Postgres dance becomes
     read → sort spans in-row → posexplode → (textual | media) branches
          → union → groupBy(doc_id) ordered reassembly → write
 
-with exactly three shuffles at any scale:
-  1. media blob join on media_ref        (shuffle-hash / broadcast if small)
-  2. cost-salted repartition of the OCR stage (skew control)
-  3. final reassembly groupBy(doc_id)
+with exactly two shuffles at any scale:
+  1. media blob join on media_ref — the blob side's explicit cost-sized
+     hash repartition doubles as the skew salt (see _media_branch), so
+     blob bytes cross the wire once, not twice
+  2. final reassembly groupBy(doc_id)
 
 Span order is computed *inside the document row* (sort_array + posexplode)
 — no window, no extra shuffle, and the output is independent of partition
@@ -29,12 +30,17 @@ from ..kernels.html import strip_boilerplate
 from ..kernels.media import extract_media_span
 from ..kernels.pdf import reconstruct_reading_order
 from ..kernels.text import normalize_text
-from .salting import cost_salted_repartition
+from .salting import cost_partition_count, cost_partition_count_from_bytes
 
-# unified branch-result schema (+ metrics sideband rows from the media stage)
-_BRANCH_SCHEMA = (
-    "doc_id string, `order` int, kind string, text string, media_ref string, "
-    "row_type string, part_id int, ocr_chars long, kernel_ms double"
+# per-span branch-result schema (both branches union into this)
+_BRANCH_COLS = ["doc_id", "order", "kind", "text", "media_ref"]
+
+# media extraction output: one row per BLOB (not per span) + a per-scan-
+# partition metrics sideband row
+_MEDIA_RESULT_SCHEMA = (
+    "media_ref string, kind string, text string, row_type string, "
+    "part_id int, n_blobs long, ocr_chars long, "
+    "kernel_ms_p50 double, kernel_ms_max double"
 )
 
 
@@ -97,15 +103,11 @@ def _textual_branch(spans: DataFrame) -> DataFrame:
         F.lit("text").alias("kind"),
         _extract_textual("kind", "text").alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
-        F.lit("span").alias("row_type"),
-        F.lit(None).cast("int").alias("part_id"),
-        F.lit(None).cast("long").alias("ocr_chars"),
-        F.lit(None).cast("double").alias("kernel_ms"),
     )
 
 
 # --------------------------------------------------------------------------
-# media branch — blob join, cost-salted, mapInPandas with metrics sideband
+# media branch — scan-side extraction: blob bytes NEVER shuffle
 # --------------------------------------------------------------------------
 
 def _make_media_fn(cfg: ExtractConfig):
@@ -116,10 +118,9 @@ def _make_media_fn(cfg: ExtractConfig):
         from pyspark import TaskContext
 
         part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
-        n_spans = 0
+        n_blobs = 0
         ocr_chars = 0
         kernel_ms: list[float] = []
-        docs_seen: set[str] = set()
         for pdf in batches:
             texts, kinds = [], []
             for blob in pdf["content"]:
@@ -131,19 +132,18 @@ def _make_media_fn(cfg: ExtractConfig):
                 kinds.append(res["kind"] if res["status"] == "completed" else "media_text")
                 texts.append(res.get("text"))
                 ocr_chars += len(res.get("text") or "")
-            n_spans += len(pdf)
-            docs_seen.update(pdf["doc_id"])
+            n_blobs += len(pdf)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "order": pdf["order"],
+                    "media_ref": pdf["media_ref"],
                     "kind": kinds,
                     "text": texts,
-                    "media_ref": pdf["media_ref"],
                     "row_type": "span",
                     "part_id": part_id,
+                    "n_blobs": None,
                     "ocr_chars": None,
-                    "kernel_ms": None,
+                    "kernel_ms_p50": None,
+                    "kernel_ms_max": None,
                 }
             )
         # metrics sideband row — per-partition lineage (north rule), the
@@ -151,28 +151,211 @@ def _make_media_fn(cfg: ExtractConfig):
         ms = sorted(kernel_ms)
         yield pd.DataFrame(
             {
-                "doc_id": [""],
-                "order": [-1],
-                "kind": [""],
-                "text": [None],
                 "media_ref": [None],
+                "kind": [None],
+                "text": [None],
                 "row_type": ["metrics"],
                 "part_id": [part_id],
+                "n_blobs": [n_blobs],
                 "ocr_chars": [ocr_chars],
-                "kernel_ms": [ms[len(ms) // 2] if ms else None],
+                "kernel_ms_p50": [ms[len(ms) // 2] if ms else None],
+                "kernel_ms_max": [ms[-1] if ms else None],
             }
-        ).assign(order=len(docs_seen), kernel_ms=[max(ms) if ms else None])
+        )
 
     return media_fn
 
 
-def _media_branch(spans: DataFrame, media: DataFrame, cfg: ExtractConfig) -> DataFrame:
+def _make_direct_media_fn(cfg: ExtractConfig):
+    """Like _make_media_fn, but rows are (path, row_group) parquet splits:
+    the python worker reads blob bytes itself (pyarrow C++, GIL-released)
+    so they never pass through the JVM heap. With the Arrow-transfer path,
+    2 GiB of blobs allocated through the JVM caused ~300 s of summed GC in
+    one stage at 32 tasks; direct reads eliminate that entirely. At
+    cluster scale the same code reads object-store URIs (pyarrow/fsspec) —
+    the standard layout for binary-heavy inference pipelines."""
+    conf_low = cfg.confidence_low
+    accepted = cfg.accepted_qr_formats
+
+    def media_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+        n_blobs = 0
+        ocr_chars = 0
+        kernel_ms: list[float] = []
+        for pdf in batches:
+            work = [
+                (p, int(rg))
+                for paths, rgs in zip(pdf["paths"], pdf["row_groups"])
+                for p, rg in zip(paths, rgs)
+            ]
+            for path, rg in work:
+                tbl = pq.ParquetFile(path).read_row_group(
+                    rg, columns=["media_ref", "content"]
+                )
+                refs = tbl.column("media_ref").to_pylist()
+                blobs = tbl.column("content").to_pylist()
+                texts, kinds = [], []
+                for blob in blobs:
+                    t0 = time.perf_counter()
+                    res = extract_media_span(
+                        bytes(blob) if blob is not None else None, conf_low, accepted
+                    )
+                    kernel_ms.append((time.perf_counter() - t0) * 1000.0)
+                    kinds.append(
+                        res["kind"] if res["status"] == "completed" else "media_text"
+                    )
+                    texts.append(res.get("text"))
+                    ocr_chars += len(res.get("text") or "")
+                n_blobs += len(refs)
+                yield pd.DataFrame(
+                    {
+                        "media_ref": refs,
+                        "kind": kinds,
+                        "text": texts,
+                        "row_type": "span",
+                        "part_id": part_id,
+                        "n_blobs": None,
+                        "ocr_chars": None,
+                        "kernel_ms_p50": None,
+                        "kernel_ms_max": None,
+                    }
+                )
+        ms = sorted(kernel_ms)
+        yield pd.DataFrame(
+            {
+                "media_ref": [None],
+                "kind": [None],
+                "text": [None],
+                "row_type": ["metrics"],
+                "part_id": [part_id],
+                "n_blobs": [n_blobs],
+                "ocr_chars": [ocr_chars],
+                "kernel_ms_p50": [ms[len(ms) // 2] if ms else None],
+                "kernel_ms_max": [ms[-1] if ms else None],
+            }
+        )
+
+    return media_fn
+
+
+def _direct_read_splits(media: DataFrame) -> list[tuple[str, int, int]] | None:
+    """(path, row_group, bytes) splits for a file-backed media DataFrame,
+    or None when the frame is not a plain file scan. Parquet footers give
+    exact per-row-group byte sizes — the decode-cost estimate comes from
+    table statistics, no data scan needed. (At 10^12-doc scale this
+    listing comes from the Iceberg manifests instead of a driver loop;
+    same (file, row_group, bytes) triples either way.)"""
+    try:
+        files = media.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    splits: list[tuple[str, int, int]] = []
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        if not path.endswith(".parquet"):
+            return None
+        meta = pq.ParquetFile(path).metadata
+        for rg in range(meta.num_row_groups):
+            splits.append((path, rg, meta.row_group(rg).total_byte_size))
+    return splits or None
+
+
+def _lpt_pack(
+    splits: list[tuple[str, int, int]], n: int
+) -> list[tuple[list[str], list[int]]]:
+    """Longest-processing-time-first bin packing of (path, row_group,
+    bytes) splits into n bins; returns per-bin (paths, row_groups)."""
+    import heapq
+
+    n = max(1, min(n, len(splits)))
+    heap = [(0, i) for i in range(n)]  # (bin_bytes, bin_idx)
+    bins: list[tuple[list[str], list[int]]] = [([], []) for _ in range(n)]
+    for path, rg, nbytes in sorted(splits, key=lambda s: -s[2]):
+        size, idx = heapq.heappop(heap)
+        bins[idx][0].append(path)
+        bins[idx][1].append(rg)
+        heapq.heappush(heap, (size + nbytes, idx))
+    return bins
+
+
+def _media_branch(
+    spans: DataFrame, media: DataFrame, cfg: ExtractConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (per-span branch rows, per-partition metrics).
+
+    Scale shape — blob bytes never cross the wire. Measured here: at 2 GiB
+    of blobs a join-then-extract plan was shuffle-IO-bound and got SLOWER
+    with more cores; at 100 TB it would shuffle the whole corpus. Instead:
+
+    1. extraction (decode → align → QR → OCR cascade) runs via mapInPandas
+       DIRECTLY on the media-table scan — per-task decode cost is bounded
+       by the scan split size (spark.sql.files.maxPartitionBytes), which
+       is the natural cost-balanced partitioning: splits are byte-sized,
+       so a media-heavy document's blobs spread across splits by
+       construction. Only when the source arrives in fewer splits than the
+       cluster has slots (single huge file) do we pay ONE narrow-to-wide
+       blob shuffle, sized by estimated decode cost (cost_partition_count)
+       and salted by hash(media_ref).
+    2. only the narrow extraction RESULT (media_ref, kind, text) joins the
+       span table — a text-sized shuffle, independent of blob bytes.
+
+    Each blob is decoded once even if referenced by many spans (the old
+    join-first plan decoded per reference). Unreferenced media rows do get
+    decoded; the input contract (FIXTURES.md §1) references every blob.
+    """
     media_spans = spans.filter(F.col("kind") == "media").select(
         "doc_id", "order", "media_ref"
     )
-    joined = media_spans.join(media.select("media_ref", "content", "file_size"), "media_ref", "left")
-    salted = cost_salted_repartition(joined, salt_col="media_ref")
-    return salted.mapInPandas(_make_media_fn(cfg), schema=_BRANCH_SCHEMA)
+    spark = media.sparkSession
+    splits = _direct_read_splits(media) if cfg.direct_blob_read else None
+    if splits is not None:
+        # python-direct read: distribute (file, row_group) splits sized by
+        # their exact byte cost; blob bytes never enter the JVM. Splits
+        # are LPT-bin-packed by byte size into exactly n bins (one row per
+        # bin, round-robin → one bin per task): deterministic near-optimal
+        # balance, vs hash placement whose balls-in-bins tail made the
+        # slowest task ~3× the median.
+        total = sum(b for _, _, b in splits)
+        n = cost_partition_count_from_bytes(total, spark)
+        bins = _lpt_pack(splits, n)
+        pairs = spark.createDataFrame(
+            bins, "paths array<string>, row_groups array<int>"
+        ).repartition(len(bins))
+        results = pairs.mapInPandas(
+            _make_direct_media_fn(cfg), schema=_MEDIA_RESULT_SCHEMA
+        )
+    else:
+        # generic fallback (in-memory or non-parquet media): Arrow path
+        blobs = media.select("media_ref", "content")
+        if blobs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+            blobs = blobs.repartition(cost_partition_count(media), F.col("media_ref"))
+        results = blobs.mapInPandas(_make_media_fn(cfg), schema=_MEDIA_RESULT_SCHEMA)
+    # persist the NARROW results so the metrics action does not re-run OCR
+    # (text-sized cache; blob bytes are not retained)
+    results = results.persist()
+    res_spans = results.filter(F.col("row_type") == "span").select(
+        "media_ref", "kind", "text"
+    )
+    metrics = results.filter(F.col("row_type") == "metrics").select(
+        "part_id", "n_blobs", "ocr_chars", "kernel_ms_p50", "kernel_ms_max"
+    )
+    branch = media_spans.join(res_spans, "media_ref", "left").select(
+        "doc_id",
+        "order",
+        # dangling media_ref (no blob row) → same failed-span shape the
+        # kernel emits for an unreadable blob
+        F.coalesce(F.col("kind"), F.lit("media_text")).alias("kind"),
+        "text",
+        "media_ref",
+    )
+    return branch, metrics
 
 
 # --------------------------------------------------------------------------
@@ -188,24 +371,13 @@ def run_extract(
     """Run the full pipeline. Returns (output, metrics):
 
     output  — (doc_id, spans ARRAY<STRUCT<kind,text,media_ref,order>>)
-    metrics — per-OCR-partition lineage rows (part_id, docs, ocr_chars,
+    metrics — per-OCR-partition lineage rows (part_id, n_blobs, ocr_chars,
               kernel_ms_p50, kernel_ms_max)
     """
     cfg = cfg or ExtractConfig()
     spans = prepare_spans(docs)
-    branch = _textual_branch(spans).unionByName(_media_branch(spans, media, cfg))
-
-    span_rows = branch.filter(F.col("row_type") == "span")
-    metrics = (
-        branch.filter(F.col("row_type") == "metrics")
-        .select(
-            "part_id",
-            F.col("order").cast("long").alias("docs"),
-            "ocr_chars",
-            F.col("ocr_chars").alias("spans_chars"),
-            F.col("kernel_ms").alias("kernel_ms_max"),
-        )
-    )
+    media_rows, metrics = _media_branch(spans, media, cfg)
+    span_rows = _textual_branch(spans).unionByName(media_rows)
 
     output = (
         span_rows.groupBy("doc_id")

@@ -71,6 +71,18 @@ def media_thumbnail_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.multimodal import synthetic_videos, video_frame_sample
+
+    return video_frame_sample(synthetic_videos(spark))
+
+
+def audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.multimodal import audio_features, synthetic_audio
+
+    return audio_features(synthetic_audio(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (relational, textstats, dedup, similarity, streaming):
@@ -78,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_pipeline"] = extract_pipeline_query
     out["media_metadata"] = media_metadata_query
     out["media_thumbnails"] = media_thumbnail_query
+    out["video_frame_sample"] = video_frame_sample_query
+    out["audio_features"] = audio_features_query
     return out
 
 

@@ -39,7 +39,8 @@ def test_orders_are_contiguous(result):
         assert [s[3] for s in seq] == list(range(len(seq))), doc_id
 
 
-def test_metrics_cover_all_media_docs(result):
+def test_metrics_cover_all_media_blobs(result):
     _, metrics, _ = result
-    assert sum(m["docs"] for m in metrics) > 0
+    assert sum(m["n_blobs"] for m in metrics) > 0
     assert all(m["ocr_chars"] >= 0 for m in metrics)
+    assert any(m["kernel_ms_max"] is not None for m in metrics)

@@ -35,4 +35,10 @@ def test_registry_consistency():
     assert set(oracles) <= set(qs)
     # all but the binary-kernel ops are oracle-checked
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"extract_pipeline", "media_metadata", "media_thumbnails"}
+    assert rows_only == {
+        "extract_pipeline",
+        "media_metadata",
+        "media_thumbnails",
+        "video_frame_sample",
+        "audio_features",
+    }

@@ -1,0 +1,198 @@
+"""N vs 4N scaling-efficiency bench (north-rule evidence).
+
+The rule requires the job to run at two cluster sizes (N and 4N
+executors) with throughput scaling efficiency >= 0.8. No real cluster
+exists in this sandbox, so the sanctioned proxy is the same job, same
+input, at two parallelism levels: cold JVM at local[8] (N) and
+local[32] (4N).
+
+Protocol (BASELINE.md "Bench protocol"):
+  1. deterministic dataset (seed fixed), generated once;
+  2. per level: fresh subprocess -> cold JVM -> warmup slice (amortizes
+     one-time codegen + Python-worker spawn, which would otherwise tax
+     the wide level 4x harder than the narrow one) -> timed
+     read->extract->write of the full input;
+  3. efficiency = (docs_per_sec@4N / docs_per_sec@N) / 4;
+  4. results -> BENCH_scaling.json (picked up by bench.py) + a
+     markdown table appended to BENCH.md.
+
+Usage:
+  python tools/bench_scaling.py [--n-docs 2000] [--levels 8,32]
+  python tools/bench_scaling.py --worker --cores 8 --data-dir D  # internal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RESULT_PATH = os.path.join(REPO, "BENCH_scaling.json")
+
+
+def worker(cores: int, data_dir: str, warmup_dir: str) -> None:
+    """One cold-JVM measurement; prints a single JSON line on stdout."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ocr_service_spark.config import ExtractConfig
+    from ocr_service_spark.pipeline.extract import load_inputs, run_extract
+    from ocr_service_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]")
+    par = spark.sparkContext.defaultParallelism
+
+    # warmup: one untimed pass of the identical job. Python-worker spawn
+    # (fork + pandas/pyarrow import, one per core) and codegen are
+    # JVM-lifetime one-time costs — noise at production runtime lengths,
+    # but they would dominate a short cold run and scale WITH core count,
+    # corrupting the efficiency ratio. Worker reuse keeps them warm.
+    wdocs, wmedia = load_inputs(spark, warmup_dir)
+    wout, _ = run_extract(
+        spark, wdocs.repartition(par), wmedia, ExtractConfig(run_id="warmup")
+    )
+    wout.write.mode("overwrite").format("noop").save()
+
+    out_tmp = tempfile.mkdtemp(prefix=f"scaling-{cores}-")
+    t0 = time.time()
+    docs, media = load_inputs(spark, data_dir)
+    # local parquet arrives as one split; at production scale the table
+    # comes in >= parallelism splits, so spreading the scan is the
+    # faithful simulation, not an optimization
+    docs = docs.repartition(par)
+    output, metrics = run_extract(spark, docs, media, ExtractConfig(run_id=f"scale-{cores}"))
+    output.write.mode("overwrite").parquet(f"{out_tmp}/extracted")
+    wall = time.time() - t0
+    ocr_chars = metrics.agg(F.sum("ocr_chars")).collect()[0][0] or 0
+    n_docs = spark.read.parquet(f"{out_tmp}/extracted").count()
+    shutil.rmtree(out_tmp, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "wall_sec": round(wall, 3),
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / wall, 2),
+                "ocr_chars": int(ocr_chars),
+                "ocr_chars_per_sec": round(ocr_chars / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def orchestrate(
+    n_docs: int, levels: list[int], seed: int = 42, media_scale: int = 4
+) -> dict:
+    from ocr_service_spark.datagen import ensure_dataset
+
+    # media_scale=4 → receipt-photo-sized images: per-image kernel cost
+    # matches real OCR magnitude, so the measurement reflects the compute
+    # pattern the job has at production rather than pure framework overhead
+    data_dir = os.path.join(REPO, ".data", f"bench-ds-{n_docs}x{media_scale}")
+    # warmup = the same job shape on a smaller-but-real dataset: large
+    # enough that every core's python worker actually processes batches
+    warmup_dir = os.path.join(REPO, ".data", "bench-ds-warmup")
+    ensure_dataset(data_dir, n_docs, seed, media_scale)
+    ensure_dataset(warmup_dir, 400, seed + 1, media_scale)
+
+    runs = []
+    for cores in levels:
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--worker", "--cores", str(cores),
+            "--data-dir", data_dir, "--warmup-dir", warmup_dir,
+        ]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=REPO, check=True
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        runs.append(json.loads(line))
+        print(f"local[{cores}]: {line}", file=sys.stderr)
+
+    lo, hi = runs[0], runs[-1]
+    ratio = hi["cores"] / lo["cores"]
+    eff_docs = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    eff_chars = (
+        (hi["ocr_chars_per_sec"] / lo["ocr_chars_per_sec"]) / ratio
+        if lo["ocr_chars_per_sec"]
+        else None
+    )
+    result = {
+        "n_docs": n_docs,
+        "seed": seed,
+        "media_scale": media_scale,
+        "runs": runs,
+        "scaling_efficiency_docs": round(eff_docs, 3),
+        "scaling_efficiency_ocr_chars": round(eff_chars, 3) if eff_chars else None,
+        "target": 0.8,
+        "passes": eff_docs >= 0.8,
+    }
+    with open(RESULT_PATH, "w") as f:
+        json.dump(result, f, indent=1)
+    _write_markdown(result)
+    print(json.dumps(result))
+    return result
+
+
+def _write_markdown(r: dict) -> None:
+    lines = [
+        "# BENCH — scaling efficiency (N vs 4N)",
+        "",
+        "Sandbox proxy for two cluster sizes: identical job + input, cold JVM",
+        f"per level, deterministic dataset ({r['n_docs']} docs, seed {r['seed']},",
+        f"media_scale {r.get('media_scale', 1)} ≈ receipt-photo image sizes).",
+        "Efficiency = (throughput@4N / throughput@N) / 4; target ≥ 0.8.",
+        "",
+        "| level | cores | wall (s) | docs/sec | OCR chars/sec |",
+        "|---|---|---|---|---|",
+    ]
+    for run in r["runs"]:
+        tag = "N" if run is r["runs"][0] else f"{run['cores'] // r['runs'][0]['cores']}N"
+        lines.append(
+            f"| {tag} | {run['cores']} | {run['wall_sec']} | "
+            f"{run['docs_per_sec']} | {run['ocr_chars_per_sec']} |"
+        )
+    lines += [
+        "",
+        f"**Scaling efficiency (docs/sec): {r['scaling_efficiency_docs']}** "
+        f"(target ≥ {r['target']}; {'PASS' if r['passes'] else 'FAIL'})",
+        f"Scaling efficiency (OCR chars/sec): {r['scaling_efficiency_ocr_chars']}",
+        "",
+        "Raw numbers: `BENCH_scaling.json` (refreshed by "
+        "`python tools/bench_scaling.py`; bench.py embeds it under `scaling`).",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--worker", action="store_true")
+    p.add_argument("--cores", type=int)
+    p.add_argument("--data-dir")
+    p.add_argument("--warmup-dir")
+    p.add_argument("--n-docs", type=int, default=2000)
+    p.add_argument("--levels", default="8,32")
+    p.add_argument("--media-scale", type=int, default=4)
+    args = p.parse_args()
+    if args.worker:
+        worker(args.cores, args.data_dir, args.warmup_dir)
+        return 0
+    orchestrate(
+        args.n_docs, [int(x) for x in args.levels.split(",")], media_scale=args.media_scale
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
