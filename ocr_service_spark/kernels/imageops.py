@@ -153,18 +153,23 @@ def warp_perspective(img: np.ndarray, corners: np.ndarray) -> np.ndarray:
 
 
 def _box_sum(img_u8: np.ndarray, block: int) -> np.ndarray:
-    """Local block×block box-filter SUM via an int64 integral image
-    (edge-replicated), O(1) per pixel and exact."""
+    """Local block×block box-filter SUM via an int32 integral image
+    (edge-replicated), O(1) per pixel and exact: the processing-
+    resolution cap (downscale_max_side, max side 960 → warp dst sides ≤ ~2100) bounds
+    the total integral at 255·(2100·2100) ≈ 1.1e9 < 2^31. int32 halves the traffic of an int64
+    integral image — this op is pure memory streaming."""
     r = block // 2
     padded = np.pad(img_u8, r + 1, mode="edge")
-    ii = padded.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    ii = padded.astype(np.int32).cumsum(axis=0, dtype=np.int32).cumsum(
+        axis=1, dtype=np.int32
+    )
     h, w = img_u8.shape
     size = 2 * r + 1
     a = ii[size:, size:][:h, :w]
     b = ii[:h, size:][:, :w]
     c = ii[size:, :w][:h, :]
     d = ii[:h, :w]
-    return a - b - c + d
+    return (a - b) - (c - d)
 
 
 def adaptive_threshold(
@@ -178,8 +183,10 @@ def adaptive_threshold(
     size = 2 * (block // 2) + 1
     n2 = size * size
     local_sum = _box_sum(img, block)
-    lhs = img.astype(np.int64) * n2
-    return ((lhs > local_sum - int(round(c * n2))) * np.uint8(255)).astype(np.uint8)
+    lhs = img.astype(np.int32) * np.int32(n2)
+    return ((lhs > local_sum - np.int32(round(c * n2))) * np.uint8(255)).astype(
+        np.uint8
+    )
 
 
 def minmax_normalize(img: np.ndarray) -> np.ndarray:

@@ -30,7 +30,7 @@ from ..kernels.html import strip_boilerplate
 from ..kernels.media import extract_media_span
 from ..kernels.pdf import reconstruct_reading_order
 from ..kernels.text import normalize_text
-from .salting import cost_partition_count, cost_partition_count_from_bytes
+from .salting import cost_partition_count
 
 # per-span branch-result schema (both branches union into this)
 _BRANCH_COLS = ["doc_id", "order", "kind", "text", "media_ref"]
@@ -241,13 +241,30 @@ def _make_direct_media_fn(cfg: ExtractConfig):
     return media_fn
 
 
-def _direct_read_splits(media: DataFrame) -> list[tuple[str, int, int]] | None:
-    """(path, row_group, bytes) splits for a file-backed media DataFrame,
-    or None when the frame is not a plain file scan. Parquet footers give
-    exact per-row-group byte sizes — the decode-cost estimate comes from
-    table statistics, no data scan needed. (At 10^12-doc scale this
-    listing comes from the Iceberg manifests instead of a driver loop;
-    same (file, row_group, bytes) triples either way.)"""
+# estimated decode cost model for a media split (ms): model inference is a
+# fixed per-image cost (the CNN runs at capped resolution regardless of
+# source size); decode + streaming image ops scale with bytes. Constants
+# measured on this container (~90 ms/inference, ~15 ms/MB streaming) —
+# only their RATIO matters for balancing.
+COST_MS_PER_ROW = 90.0
+COST_MS_PER_MB = 15.0
+# target estimated cost per bin: small enough that the final wave's
+# quantization error is a few percent of stage wall, large enough that
+# per-task overhead (~10 ms) stays negligible
+TARGET_COST_MS_PER_BIN = 5000.0
+
+
+def _split_cost_ms(rows: int, nbytes: int) -> float:
+    return rows * COST_MS_PER_ROW + (nbytes / 1e6) * COST_MS_PER_MB
+
+
+def _direct_read_splits(media: DataFrame) -> list[tuple[str, int, int, int]] | None:
+    """(path, row_group, bytes, rows) splits for a file-backed media
+    DataFrame, or None when the frame is not a plain file scan. Parquet
+    footers give exact per-row-group byte and row counts — the decode-cost
+    estimate comes from table statistics, no data scan needed. (At
+    10^12-doc scale this listing comes from the Iceberg manifests instead
+    of a driver loop; same split tuples either way.)"""
     try:
         files = media.inputFiles()
     except Exception:
@@ -256,32 +273,38 @@ def _direct_read_splits(media: DataFrame) -> list[tuple[str, int, int]] | None:
         return None
     import pyarrow.parquet as pq
 
-    splits: list[tuple[str, int, int]] = []
+    splits: list[tuple[str, int, int, int]] = []
     for uri in files:
         path = uri[7:] if uri.startswith("file://") else uri
         if not path.endswith(".parquet"):
             return None
         meta = pq.ParquetFile(path).metadata
         for rg in range(meta.num_row_groups):
-            splits.append((path, rg, meta.row_group(rg).total_byte_size))
+            g = meta.row_group(rg)
+            splits.append((path, rg, g.total_byte_size, g.num_rows))
     return splits or None
 
 
 def _lpt_pack(
-    splits: list[tuple[str, int, int]], n: int
+    splits: list[tuple[str, int, int, int]], n: int
 ) -> list[tuple[list[str], list[int]]]:
     """Longest-processing-time-first bin packing of (path, row_group,
-    bytes) splits into n bins; returns per-bin (paths, row_groups)."""
+    bytes, rows) splits into n bins by estimated cost (_split_cost_ms);
+    returns per-bin (paths, row_groups)."""
     import heapq
 
     n = max(1, min(n, len(splits)))
-    heap = [(0, i) for i in range(n)]  # (bin_bytes, bin_idx)
+    heap = [(0.0, i) for i in range(n)]  # (bin_cost, bin_idx)
     bins: list[tuple[list[str], list[int]]] = [([], []) for _ in range(n)]
-    for path, rg, nbytes in sorted(splits, key=lambda s: -s[2]):
+    weighted = sorted(
+        ((_split_cost_ms(rows, nbytes), path, rg) for path, rg, nbytes, rows in splits),
+        key=lambda s: -s[0],
+    )
+    for cost, path, rg in weighted:
         size, idx = heapq.heappop(heap)
         bins[idx][0].append(path)
         bins[idx][1].append(rg)
-        heapq.heappush(heap, (size + nbytes, idx))
+        heapq.heappush(heap, (size + cost, idx))
     return bins
 
 
@@ -316,18 +339,37 @@ def _media_branch(
     spark = media.sparkSession
     splits = _direct_read_splits(media) if cfg.direct_blob_read else None
     if splits is not None:
-        # python-direct read: distribute (file, row_group) splits sized by
-        # their exact byte cost; blob bytes never enter the JVM. Splits
-        # are LPT-bin-packed by byte size into exactly n bins (one row per
-        # bin, round-robin → one bin per task): deterministic near-optimal
-        # balance, vs hash placement whose balls-in-bins tail made the
-        # slowest task ~3× the median.
-        total = sum(b for _, _, b in splits)
-        n = cost_partition_count_from_bytes(total, spark)
+        # python-direct read: distribute (file, row_group) splits by
+        # ESTIMATED COST (fixed inference cost per row + streaming cost
+        # per byte — packing by bytes alone left equal-byte bins with 4×
+        # different blob counts and a 4× straggler tail); blob bytes never
+        # enter the JVM. Splits are LPT-bin-packed into n bins (one row
+        # per bin, round-robin → one bin per task). n is over-provisioned
+        # 4× vs task slots so wave quantization stays ≤ ~1/4 wave.
+        total_cost = sum(_split_cost_ms(rows, b) for _, _, b, rows in splits)
+        n = min(
+            4096,
+            max(
+                4 * spark.sparkContext.defaultParallelism,
+                int(total_cost // TARGET_COST_MS_PER_BIN) + 1,
+            ),
+        )
         bins = _lpt_pack(splits, n)
+        # EXACTLY one bin per task: round-robin repartition(n) does NOT
+        # guarantee this (each input slice starts at a random offset, so
+        # bins collide and half the tasks come up empty — measured p50
+        # task time of 0.17 s next to a 50 s straggler). A keyed RDD with
+        # an identity partitioner is deterministic.
+        rdd = (
+            spark.sparkContext.parallelize(
+                list(enumerate(bins)), numSlices=max(1, len(bins))
+            )
+            .partitionBy(len(bins), lambda k: k)
+            .values()
+        )
         pairs = spark.createDataFrame(
-            bins, "paths array<string>, row_groups array<int>"
-        ).repartition(len(bins))
+            rdd, "paths array<string>, row_groups array<int>"
+        )
         results = pairs.mapInPandas(
             _make_direct_media_fn(cfg), schema=_MEDIA_RESULT_SCHEMA
         )
