@@ -332,6 +332,11 @@ def _media_branch(
     Each blob is decoded once even if referenced by many spans (the old
     join-first plan decoded per reference). Unreferenced media rows do get
     decoded; the input contract (FIXTURES.md §1) references every blob.
+    Corollary for checkpoint RESUME over a doc subset: the whole media
+    table is re-extracted (results for unmatched refs are discarded by the
+    join). At production scale the media table is partitioned by the same
+    bucket key as documents (Iceberg partition transform), so a resume
+    lists only the matching data files and this is moot.
     """
     media_spans = spans.filter(F.col("kind") == "media").select(
         "doc_id", "order", "media_ref"
