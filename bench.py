@@ -41,6 +41,7 @@ HEADLINE = [
     "embedding_neardup",
     "knn_bruteforce",
     "ann_lsh_probe",
+    "ann_ivf_probe",
     "sessionization",
     "event_props_json",
 ]

@@ -155,6 +155,109 @@ LIMIT {TOP_K}
 """
 
 
+# --- IVF-flat: coarse quantization + in-cell probe -------------------------------
+
+IVF_K = 8  # coarse centroids (seeded from the first K vectors — k-means init)
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid by cosine.
+
+    Centroids are the first IVF_K vectors (deterministic k-means-style
+    seeding — no stored model, same rule in the oracle). Scale shape: the
+    K-row centroid table broadcasts; assignment is one scan, no shuffle
+    until the per-cell aggregate."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), _norm("v").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", (dot / (_norm("v") * F.col("cn"))).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    ).select("vec_id", "v", "cid")
+
+
+def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-size histogram (the inverted-list length distribution)."""
+    return _ivf_cells(spark, sf_dir).groupBy("cid").agg(
+        F.count("*").alias("n_vectors")
+    )
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: exact cosine top-k restricted to the query's cell
+    (nprobe=1) — scan ≈ n/IVF_K instead of n."""
+    cells = _ivf_cells(spark, sf_dir)
+    q = cells.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), _norm("v").alias("qn"), F.col("cid").alias("qc")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        cells.join(F.broadcast(q))
+        .filter((F.col("cid") == F.col("qc")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", (dot / (_norm("v") * F.col("qn"))).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.desc("cos"), "vec_id")
+        .limit(TOP_K)
+        .select(
+            F.row_number().over(Window.orderBy(F.desc("cos"), "vec_id")).alias("rank"),
+            "vec_id",
+        )
+    )
+
+
+_IVF_CELLS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM e WHERE vec_id < {IVF_K}),
+scored AS (
+  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+         list_sum(list_transform(list_zip(e.embedding, c.cv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (e.nrm * c.cn) AS ccos
+  FROM e CROSS JOIN c
+),
+cells AS (
+  SELECT vec_id, embedding, nrm, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored)
+  WHERE rn = 1
+)
+"""
+
+_ORACLE_IVF_CELLS = (
+    _IVF_CELLS_SQL + "SELECT cid, count(*) AS n_vectors FROM cells GROUP BY cid"
+)
+
+_ORACLE_IVF_PROBE = (
+    _IVF_CELLS_SQL
+    + f"""
+, q AS (SELECT embedding AS qv, nrm AS qn, cid AS qc FROM cells WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cells.vec_id,
+         list_sum(list_transform(list_zip(cells.embedding, q.qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (cells.nrm * q.qn) AS cos
+  FROM cells, q
+  WHERE cells.cid = q.qc AND cells.vec_id != {QUERY_VEC_ID}
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id) AS rank, vec_id
+FROM probe ORDER BY cos DESC, vec_id LIMIT {TOP_K}
+"""
+)
+
+
 def q_label_centroid_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid: cluster sizes + centroid dimension count
     (element-wise mean via posexplode + groupBy; no driver loops)."""
@@ -192,6 +295,8 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_probe": q_ann_lsh_probe,
+    "ann_ivf_cells": q_ann_ivf_cells,
+    "ann_ivf_probe": q_ann_ivf_probe,
     "label_centroid_sizes": q_label_centroid_sizes,
 }
 
@@ -199,5 +304,7 @@ ORACLES = {
     "knn_bruteforce": _ORACLE_KNN,
     "ann_lsh_buckets": _ORACLE_ANN_BUCKETS,
     "ann_lsh_probe": _ORACLE_ANN_PROBE,
+    "ann_ivf_cells": _ORACLE_IVF_CELLS,
+    "ann_ivf_probe": _ORACLE_IVF_PROBE,
     "label_centroid_sizes": _ORACLE_CENTROID,
 }

@@ -1,0 +1,26 @@
+"""Structured Streaming execution of the extraction pipeline must produce
+exactly the batch result (span-sequence equality per document) — the same
+declarative plan, driven by readStream with a stream-static blob join."""
+
+from __future__ import annotations
+
+import os
+
+
+def _seqs(rows):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for r in rows
+    }
+
+
+def test_streaming_extract_matches_golden(spark, dataset):
+    from ocr_service_spark.pipeline.streaming import extract_stream_to_memory
+
+    data_dir = os.path.dirname(dataset["documents"])
+    out = extract_stream_to_memory(spark, data_dir)
+    got = _seqs(out.collect())
+    golden = _seqs(spark.read.parquet(dataset["golden"]).collect())
+    assert set(got) == set(golden)
+    mismatched = [d for d in golden if got[d] != golden[d]]
+    assert mismatched == [], f"{len(mismatched)} docs mismatch, e.g. {mismatched[:3]}"
