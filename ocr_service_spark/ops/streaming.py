@@ -33,12 +33,10 @@ def _windowed_agg(df: DataFrame) -> DataFrame:
     )
 
 
-def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 5-minute counts per event_type, executed as a real
-    streaming query over the parquet source (memory sink, drained
-    synchronously). Result is identical to the batch window aggregation."""
+def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table (FileStreamSource requires a
+    directory — stage the single parquet file once)."""
     schema = load(spark, sf_dir, "events").schema
-    # FileStreamSource requires a directory — stage the single parquet file
     import hashlib
     import shutil
     import tempfile
@@ -53,16 +51,17 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join(stage, "events.parquet")
     if not os.path.exists(dst):
         shutil.copyfile(src, dst)
-    stream = (
+    return (
         spark.readStream.schema(schema)
         .parquet(stage)
         # parquet stores TIMESTAMP_NTZ; watermarks need an event-time zone
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    name = "windowed_event_counts_sink"
+
+
+def _drain_to_df(spark: SparkSession, streaming_df, name: str, mode: str) -> DataFrame:
     q = (
-        _windowed_agg(stream)
-        .writeStream.outputMode("complete")
+        streaming_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -71,10 +70,17 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    # materialize before the sink goes away
     result = spark.sql(f"SELECT * FROM {name}")
-    out = spark.createDataFrame(result.collect(), result.schema)
-    return out
+    return spark.createDataFrame(result.collect(), result.schema)
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute counts per event_type, executed as a real
+    streaming query over the parquet source (memory sink, drained
+    synchronously). Result is identical to the batch window aggregation."""
+    stream = _staged_events_stream(spark, sf_dir)
+    name = "windowed_event_counts_sink"
+    return _drain_to_df(spark, _windowed_agg(stream), name, "complete")
 
 
 _ORACLE_WINDOWED = """
@@ -154,14 +160,104 @@ GROUP BY event_type
 """
 
 
+# --- custom stateful operator: applyInPandasWithState ------------------------
+
+SESSION_GAP_S = 1800
+
+
+def q_stateful_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator:
+    ``applyInPandasWithState`` keeps (n_sessions, n_events, last_ts) per
+    user across micro-batches — the Structured Streaming form of the
+    reference's per-job state fold (event_listener.py:63-122), and the
+    engine's extension point for stateful operators Spark lacks.
+
+    Result equals the batch/window sessionization (same DuckDB oracle
+    shape): update-mode output, last row per user wins."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("last_ts", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts = rows["ts"].astype("int64") / 1e9  # epoch seconds
+        n_sessions, n_events, last_ts = (
+            state.get if state.exists else (0, 0, None)
+        )
+        gaps = ts.diff()
+        new_starts = int((gaps > SESSION_GAP_S).sum())
+        first = float(ts.iloc[0])
+        if last_ts is None or first - last_ts > SESSION_GAP_S:
+            new_starts += 1  # the batch's first event opens a session
+        n_sessions += new_starts
+        n_events += len(rows)
+        state.update((n_sessions, n_events, float(ts.iloc[-1])))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    stream = _staged_events_stream(spark, sf_dir)
+    stateful = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    out = _drain_to_df(spark, stateful, "stateful_session_sink", "update")
+    # update mode re-emits a row per user per batch; keep the final one
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+    )
+
+
+_ORACLE_STATEFUL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
 QUERIES = {
     "windowed_event_counts": q_windowed_event_counts,
     "sessionization": q_sessionization,
     "event_props_json": q_event_props_json,
+    "stateful_session_counts": q_stateful_session_counts,
 }
 
 ORACLES = {
     "windowed_event_counts": _ORACLE_WINDOWED,
     "sessionization": _ORACLE_SESSIONS,
     "event_props_json": _ORACLE_PROPS,
+    "stateful_session_counts": _ORACLE_STATEFUL,
 }
