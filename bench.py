@@ -35,6 +35,7 @@ HEADLINE = [
     "token_stats",
     "quality_scores",
     "langid_heuristic",
+    "corpus_curation",
     "minhash_lsh_buckets",
     "simhash_histogram",
     "ngram_jaccard_pairs",

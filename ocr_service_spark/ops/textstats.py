@@ -178,11 +178,75 @@ GROUP BY cluster_size
 """
 
 
+# --- composed corpus curation (the end-to-end training-data shape) --------------
+
+CURATION_MIN_QUALITY = 0.7
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel in one declarative plan: quality score →
+    threshold filter → exact dedup (keep lexicographically-first doc per
+    content hash) → per-language survivor stats. This is the composition a
+    training-data pipeline runs at 100 TB; every stage is JVM-side (one
+    scan, one dedup shuffle, one aggregate shuffle — Catalyst pipelines
+    the score+filter into the scan)."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    stop_hits = F.size(F.filter(tokens, lambda t: t.isin(*_STOP["en"])))
+    mean_word_len = F.length(F.translate(F.col("text"), " ", "")) / n_tokens
+    quality = (
+        F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.5
+        + (stop_hits / n_tokens) * 2.0
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.3).otherwise(0.0)
+    )
+    scored = docs.select("doc_id", "lang", "text", quality.alias("q")).filter(
+        F.col("q") >= CURATION_MIN_QUALITY
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        )
+    )
+
+
+_ORACLE_CURATION = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         least(1.0, len(string_split(text, ' ')) / 64.0) * 0.5
+         + (len(list_filter(string_split(text, ' '), t -> t IN {_EN_STOP_SQL}))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 2.0
+         + CASE WHEN length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 3 AND 10
+                THEN 0.3 ELSE 0.0 END AS q
+  FROM documents
+),
+kept AS (SELECT * FROM scored WHERE q >= {{thr}}),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM kept)
+  WHERE rn = 1
+)
+SELECT lang, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
+       round(avg(length(text)), 2) AS avg_chars
+FROM dedup GROUP BY lang
+""".replace("{thr}", str(CURATION_MIN_QUALITY))
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "langid_heuristic": q_langid,
     "fingerprint_clusters": q_fingerprint_clusters,
+    "corpus_curation": q_corpus_curation,
 }
 
 ORACLES = {
@@ -190,4 +254,5 @@ ORACLES = {
     "quality_scores": _ORACLE_QUALITY,
     "langid_heuristic": _ORACLE_LANGID,
     "fingerprint_clusters": _ORACLE_FINGERPRINT,
+    "corpus_curation": _ORACLE_CURATION,
 }
