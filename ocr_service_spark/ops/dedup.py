@@ -38,7 +38,7 @@ def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EXACT = """
 SELECT count(*) AS n_unique,
-       sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dropped
+       CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM (SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY 1)
 """
 

@@ -31,8 +31,11 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # collapse last-ulp noise: 12 significant digits
-        return f"{v:.12g}"
+        # collapse last-ulp noise: 12 significant digits. The "f:" prefix
+        # keeps floats distinct from ints (dtype-strict, like the driver's
+        # value hash): DuckDB HUGEINT sums materialize as float64 via
+        # fetchdf(), and stringifying 0.0 -> "0" used to hide that.
+        return f"f:{v:.12g}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
