@@ -32,9 +32,18 @@ TOLERANCE_MAX = 65.0
 # reference: aligner.py:330-340 — receipt contour aspect filter 1 < h/w < 6
 ASPECT_MIN = 1.0
 ASPECT_MAX = 6.0
-# reference: common.py:107-113 — adaptive threshold (gentle) block 15, C 5
+# reference: common.py:103-114 — adaptive Gaussian threshold profiles:
+# gentle block 15, C 5, close 2×2; aggressive block 31, C 10, open 1×1
 BINARIZE_BLOCK = 15
 BINARIZE_C = 5
+BINARIZE_BLOCK_AGGRESSIVE = 31
+BINARIZE_C_AGGRESSIVE = 10
+
+# --- timeouts ---------------------------------------------------------------
+# reference: services/gateway/src/platform/config/index.ts:24 — 30 s per
+# engine call (OCR_ENGINE_TIMEOUT), enforced via asyncio.wait_for in every
+# service route (aligner.py:173-180, tesseract ocr.py:82-90).
+KERNEL_TIMEOUT_S = 30.0
 
 # --- engine cascade ---------------------------------------------------------
 # reference: services/gateway/src/services/processor.ts:371-390 — attempt
@@ -67,6 +76,11 @@ class ExtractConfig:
     confidence_low: float = CONFIDENCE_THRESHOLD_LOW
     confidence_high: float = CONFIDENCE_THRESHOLD_HIGH
     accepted_qr_formats: tuple[str, ...] | None = None  # None → accept all
+    # binarization profile (AlignmentConfig.aggressive, models/config.py:11-16)
+    aggressive: bool = False
+    # per-image soft deadline (Q9): reference bounds every engine call at
+    # 30 s (config/index.ts:24, asyncio.wait_for at aligner.py:173-180)
+    kernel_timeout_s: float = KERNEL_TIMEOUT_S
     salt_buckets: int = COST_SALT_BUCKETS
     run_id: str = "run-0"
     # checkpoint table path (parquet dir locally, Iceberg table on cluster)

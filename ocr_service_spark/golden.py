@@ -37,7 +37,13 @@ def extract_document(
             out.append({"kind": "text", "text": reconstruct_reading_order(span["text"]), "media_ref": None, "order": order})
         elif kind == "media":
             blob = media_lookup.get(span["media_ref"])
-            res = extract_media_span(blob, cfg.confidence_low, cfg.accepted_qr_formats)
+            res = extract_media_span(
+                blob,
+                cfg.confidence_low,
+                cfg.accepted_qr_formats,
+                aggressive=cfg.aggressive,
+                timeout_s=cfg.kernel_timeout_s,
+            )
             out.append(
                 {
                     "kind": res["kind"] if res["status"] == "completed" else "media_text",

@@ -4,22 +4,23 @@ Deterministic reimplementations of the reference aligner's preprocessing
 semantics (SURVEY.md §2.2) without cv2 (not in this container):
 
 - dark-receipt inversion   — reference services/aligner/src/services/common.py:9-18
-- illumination/contrast    — common.py:21-33 (CLAHE step approximated by a
-                             deterministic global contrast stretch; same
-                             ×1.2 contrast gain)
 - mask → bbox corners      — the `_ensure_receipt_shape` bounding-box path,
-                             aligner.py:342-351 (the cv2 contour/minAreaRect
-                             chain P4-P8 needs cv2; the bbox fallback is the
-                             reference's own degenerate path and is exact)
+                             aligner.py:342-351, used here as the in-process
+                             P14 local fallback when the classic chain
+                             (kernels/align.py, P3-P8) raises
 - corner ordering          — common.py:36-58 (sort by y, split top/bottom,
                              sort each by x → TL,TR,BR,BL)
 - perspective warp         — common.py:61-95 (dst = 1.5× max edge, min 64 px;
                              homography solved directly; nearest sampling
                              with border-replicate)
-- OCR binarization         — common.py:98-118 (adaptive mean threshold,
-                             block 15, C 5, then min-max normalize)
+- OCR binarization         — common.py:98-118 (3×3 Gaussian blur →
+                             Gaussian-adaptive threshold, gentle block 15
+                             C 5 + close 2×2 / aggressive block 31 C 10 +
+                             open 1×1 → min-max normalize)
 
-All functions take/return uint8 grayscale ndarrays and are pure.
+The CLAHE illumination chain (P3) lives with the rest of the classic
+aligner in kernels/align.py. All functions take/return uint8 grayscale
+ndarrays and are pure.
 """
 
 from __future__ import annotations
@@ -28,7 +29,9 @@ import numpy as np
 
 from ..config import (
     BINARIZE_BLOCK,
+    BINARIZE_BLOCK_AGGRESSIVE,
     BINARIZE_C,
+    BINARIZE_C_AGGRESSIVE,
     DARK_INVERT_MEAN_THRESHOLD,
     WARP_MIN_SIZE,
     WARP_SCALE,
@@ -54,21 +57,6 @@ def invert_if_dark(img: np.ndarray) -> tuple[np.ndarray, bool]:
     if float(img.mean()) < DARK_INVERT_MEAN_THRESHOLD:
         return (255 - img), True
     return img, False
-
-
-def contrast_stretch(img: np.ndarray, gain: float = 1.2) -> np.ndarray:
-    """Deterministic illumination normalization (common.py:21-33 analog):
-    center on the mean, apply ×1.2 contrast gain, clip to [0,255].
-
-    float32 arithmetic throughout imageops: these kernels are memory-
-    bandwidth-bound on receipt-photo-sized frames (measured: float64
-    temporaries made the UDF stage ~4× slower than the serial kernel under
-    task concurrency), and 24-bit mantissas are exact for 8-bit pixel math
-    at these magnitudes."""
-    f = img.astype(np.float32)
-    mean = np.float32(f.mean())
-    out = (f - mean) * np.float32(gain) + mean
-    return np.clip(np.rint(out, out=out), 0, 255).astype(np.uint8)
 
 
 def mask_bbox_corners(img: np.ndarray, thresh: float | None = None) -> np.ndarray:
@@ -152,41 +140,70 @@ def warp_perspective(img: np.ndarray, corners: np.ndarray) -> np.ndarray:
     return img[syi, sxi]
 
 
-def _box_sum(img_u8: np.ndarray, block: int) -> np.ndarray:
-    """Local block×block box-filter SUM via an int32 integral image
-    (edge-replicated), O(1) per pixel and exact: the processing-
-    resolution cap (downscale_max_side, max side 960 → warp dst sides ≤ ~2100) bounds
-    the total integral at 255·(2100·2100) ≈ 1.1e9 < 2^31. int32 halves the traffic of an int64
-    integral image — this op is pure memory streaming."""
-    r = block // 2
-    padded = np.pad(img_u8, r + 1, mode="edge")
-    ii = padded.astype(np.int32).cumsum(axis=0, dtype=np.int32).cumsum(
-        axis=1, dtype=np.int32
-    )
-    h, w = img_u8.shape
-    size = 2 * r + 1
-    a = ii[size:, size:][:h, :w]
-    b = ii[:h, size:][:, :w]
-    c = ii[size:, :w][:h, :]
-    d = ii[:h, :w]
-    return (a - b) - (c - d)
+def gaussian_blur3(img: np.ndarray) -> np.ndarray:
+    """3×3 Gaussian blur (common.py:101). cv2 with sigma=0 and ksize 3
+    uses the fixed binomial kernel [1,2,1]/4; separable integer
+    arithmetic with round-half-up and reflect-101 borders matches it."""
+    k = np.array([1, 2, 1], dtype=np.int32)
+    p = np.pad(img.astype(np.int32), 1, mode="reflect")
+    rows = sum(k[i] * p[:, i : i + img.shape[1]] for i in range(3))
+    both = sum(k[i] * rows[i : i + img.shape[0], :] for i in range(3))
+    return ((both + 8) >> 4).astype(np.uint8)
 
 
-def adaptive_threshold(
+def _gaussian_kernel1d(ksize: int) -> np.ndarray:
+    """cv2.getGaussianKernel with sigma=0 for ksize > 7:
+    sigma = 0.3·((ksize-1)·0.5 - 1) + 0.8, normalized exp kernel."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def adaptive_threshold_gaussian(
     img: np.ndarray, block: int = BINARIZE_BLOCK, c: float = BINARIZE_C
 ) -> np.ndarray:
-    """Adaptive mean threshold: pixel > local_mean - C → 255 else 0
-    (common.py:107-113, gentle profile block 15 / C 5).
+    """Gaussian-weighted adaptive threshold (ADAPTIVE_THRESH_GAUSSIAN_C,
+    common.py:104-112): T(x,y) = gaussian-weighted local mean − C over a
+    block×block window (replicate border), dst = 255 where src > T.
+    Matches cv2's structure — the local mean is rounded to uint8 before
+    the integer comparison; the separable convolution runs in float64
+    (cv2 uses fixed point — documented determinism tradeoff)."""
+    k = _gaussian_kernel1d(block)
+    r = block // 2
+    p = np.pad(img.astype(np.float64), r, mode="edge")  # BORDER_REPLICATE
+    rows = np.zeros((p.shape[0], img.shape[1]), dtype=np.float64)
+    for i in range(block):
+        rows += k[i] * p[:, i : i + img.shape[1]]
+    mean = np.zeros(img.shape, dtype=np.float64)
+    for i in range(block):
+        mean += k[i] * rows[i : i + img.shape[0], :]
+    mean_u8 = np.clip(np.rint(mean), 0, 255).astype(np.int16)
+    return (
+        (img.astype(np.int16) > mean_u8 - np.int16(round(c))) * np.uint8(255)
+    ).astype(np.uint8)
 
-    Integer formulation: pixel > sum/n² - C  ⟺  pixel·n² > sum - C·n²,
-    exact and temporaries-light."""
-    size = 2 * (block // 2) + 1
-    n2 = size * size
-    local_sum = _box_sum(img, block)
-    lhs = img.astype(np.int32) * np.int32(n2)
-    return ((lhs > local_sum - np.int32(round(c * n2))) * np.uint8(255)).astype(
-        np.uint8
-    )
+
+def _morph2x2(mask: np.ndarray, op: str) -> np.ndarray:
+    """2×2 rect-kernel dilate/erode with cv2's anchor convention for even
+    kernels (anchor (0,0) → offsets {0,1}²) and default border values
+    (-inf for dilate, +inf for erode → pad 0 / 255)."""
+    pad_val = 0 if op == "dilate" else 255
+    p = np.pad(mask, ((0, 1), (0, 1)), mode="constant", constant_values=pad_val)
+    win = np.stack([p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]])
+    return win.max(axis=0) if op == "dilate" else win.min(axis=0)
+
+
+def morph_close_2x2(mask: np.ndarray) -> np.ndarray:
+    """MORPH_CLOSE with a 2×2 rect kernel (gentle profile, common.py:113-114)."""
+    return _morph2x2(_morph2x2(mask, "dilate"), "erode")
+
+
+def morph_open_1x1(mask: np.ndarray) -> np.ndarray:
+    """MORPH_OPEN with a 1×1 rect kernel (aggressive profile,
+    common.py:107-108) — erode∘dilate with a single-pixel kernel is the
+    identity; kept as an explicit no-op for parity with the reference."""
+    return mask
 
 
 def minmax_normalize(img: np.ndarray) -> np.ndarray:
@@ -199,6 +216,20 @@ def minmax_normalize(img: np.ndarray) -> np.ndarray:
     return np.rint(out, out=out).astype(np.uint8)
 
 
-def preprocess_for_ocr(img: np.ndarray) -> np.ndarray:
-    """Full OCR binarization chain (common.py:98-118 semantics)."""
-    return minmax_normalize(adaptive_threshold(img))
+def preprocess_for_ocr(img: np.ndarray, aggressive: bool = False) -> np.ndarray:
+    """Full OCR binarization chain (common.py:98-118): 3×3 Gaussian blur,
+    then Gaussian-adaptive threshold + morphology — gentle profile
+    (block 15, C 5, close 2×2) or aggressive (block 31, C 10, open 1×1)
+    — then min-max normalize."""
+    blurred = gaussian_blur3(img)
+    if aggressive:
+        thresh = morph_open_1x1(
+            adaptive_threshold_gaussian(
+                blurred, BINARIZE_BLOCK_AGGRESSIVE, BINARIZE_C_AGGRESSIVE
+            )
+        )
+    else:
+        thresh = morph_close_2x2(
+            adaptive_threshold_gaussian(blurred, BINARIZE_BLOCK, BINARIZE_C)
+        )
+    return minmax_normalize(thresh)

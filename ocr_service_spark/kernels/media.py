@@ -25,8 +25,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..config import ALLOWED_MEDIA_MAGIC, CASCADE_ATTEMPTS, MAX_MEDIA_BYTES
-from . import imageops, neural
+from ..config import (
+    ALLOWED_MEDIA_MAGIC,
+    CASCADE_ATTEMPTS,
+    KERNEL_TIMEOUT_S,
+    MAX_MEDIA_BYTES,
+)
+from . import align, imageops, neural
 
 SIMG_MAGIC = b"SIMG1\n"
 
@@ -234,17 +239,36 @@ def run_cascade(
     return last
 
 
+CLASSIC_MAX_SIDE = 480  # processing-resolution cap for the P3-P8 chain
+
+
 def extract_media_span(
     blob: bytes | None,
     confidence_low: float,
     accepted_qr_formats: tuple[str, ...] | None,
     recognizer: StubRecognizer | None = None,
+    aggressive: bool = False,
+    timeout_s: float | None = KERNEL_TIMEOUT_S,
 ) -> dict:
     """Full single-image extraction: validate → decode → align → binarize →
     QR short-circuit → OCR cascade. Pure function of the blob bytes.
 
+    Q9 timeout guard: a soft monotonic deadline (default 30 s, the
+    reference's per-engine-call OCR_ENGINE_TIMEOUT, config/index.ts:24)
+    is checked between kernel stages and cascade attempts; on breach the
+    span completes as FAILED instead of hanging its task (the batch
+    analog of asyncio.wait_for + BullMQ job failure). The
+    spark.task.reaper conf in session.py is the hard backstop.
+
     Returns a dict matching SPAN_DETAIL_SCHEMA's media fields.
     """
+    import time as _time
+
+    deadline = (_time.monotonic() + timeout_s) if timeout_s else None
+
+    def _timed_out() -> bool:
+        return deadline is not None and _time.monotonic() > deadline
+
     recognizer = recognizer or StubRecognizer()
     err = validate_media(blob)
     if err is not None:
@@ -264,15 +288,11 @@ def extract_media_span(
 
     meta, img = decode_simg(blob)
 
-    # --- alignment (P2, P3-lite, hybrid P11/P12 → P9, P10) ---
+    # --- alignment (hybrid dispatch P12, reference hybrid.py:47-110) ---
     img = imageops.downscale_max_side(img)  # det_limit_side_len analog
-    img, _inverted = imageops.invert_if_dark(img)
-    img = imageops.contrast_stretch(img)
-    # hybrid dispatch (reference hybrid.py:47-110): neural corner
-    # detection first (default mode, recognize.ts:21-28), classic path on
-    # any failure. Classic = the annotated quad (stand-in for the
-    # flood-fill/contour chain P4-P8), then bbox as last resort
-    # (aligner.py:342-351).
+    # Neural corner detection first on the raw frame (default mode,
+    # recognize.ts:21-28; the neural aligner gets the unprocessed image,
+    # hybrid.py:67-70); the classic chain on any failure or decline.
     warped = None
     try:
         nc = neural.detect_corners(img)
@@ -281,13 +301,38 @@ def extract_media_span(
     except Exception:  # ANY neural-path failure → classic (hybrid.py:59-97)
         warped = None
     if warped is None:
-        quad = meta.get("quad")
-        if quad is not None and len(quad) == 4:
-            corners = imageops.order_corners(np.array(quad, np.float64))
-        else:
+        # Classic chain P2-P8 (aligner.py:58-175): dark-invert, then
+        # CLAHE → seed point → flood-fill mask → polygon → minAreaRect.
+        # The mask chain runs at a capped resolution (same engineering
+        # device as downscale_max_side — flood fill and contour tracing
+        # cost ~linear in pixels) and the corners scale back; the warp
+        # samples the ORIGINAL (uninverted) frame, aligner.py:203-204.
+        try:
+            working, _inverted = imageops.invert_if_dark(img)  # P2
+            step = max(1, -(-max(working.shape) // CLASSIC_MAX_SIDE))
+            small = (
+                np.ascontiguousarray(working[::step, ::step])
+                if step > 1
+                else working
+            )
+            corners = align.classic_align_corners(small) * float(step)
+            warped = imageops.warp_perspective(
+                img, imageops.order_corners(corners)
+            )
+        except Exception:
+            # P14: the gateway's local preprocessing fallback
+            # (processor.ts:139-147), in-process — bbox of the bright
+            # foreground (the reference's own degenerate path).
             corners = imageops.mask_bbox_corners(img)
-        warped = imageops.warp_perspective(img, corners)
-    preprocessed = imageops.preprocess_for_ocr(warped)  # P13
+            warped = imageops.warp_perspective(img, corners)
+    if _timed_out():
+        return {
+            "status": "failed",
+            "error": f"kernel timeout after {timeout_s:.0f}s (alignment)",
+            "kind": "media_text",
+            "text": None,
+        }
+    preprocessed = imageops.preprocess_for_ocr(warped, aggressive)  # P13
 
     # --- QR short-circuit (R7) ---
     qr = try_qr(meta, accepted_qr_formats)
@@ -304,6 +349,13 @@ def extract_media_span(
         }
 
     # --- OCR cascade (R6) ---
+    if _timed_out():
+        return {
+            "status": "failed",
+            "error": f"kernel timeout after {timeout_s:.0f}s (pre-cascade)",
+            "kind": "media_text",
+            "text": None,
+        }
     res = run_cascade(meta, warped, preprocessed, confidence_low, recognizer)
     return {
         "status": "completed",

@@ -113,6 +113,8 @@ def _textual_branch(spans: DataFrame) -> DataFrame:
 def _make_media_fn(cfg: ExtractConfig):
     conf_low = cfg.confidence_low
     accepted = cfg.accepted_qr_formats
+    aggressive = cfg.aggressive
+    timeout_s = cfg.kernel_timeout_s
 
     def media_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -126,7 +128,11 @@ def _make_media_fn(cfg: ExtractConfig):
             for blob in pdf["content"]:
                 t0 = time.perf_counter()
                 res = extract_media_span(
-                    bytes(blob) if blob is not None else None, conf_low, accepted
+                    bytes(blob) if blob is not None else None,
+                    conf_low,
+                    accepted,
+                    aggressive=aggressive,
+                    timeout_s=timeout_s,
                 )
                 kernel_ms.append((time.perf_counter() - t0) * 1000.0)
                 kinds.append(res["kind"] if res["status"] == "completed" else "media_text")
@@ -176,6 +182,8 @@ def _make_direct_media_fn(cfg: ExtractConfig):
     the standard layout for binary-heavy inference pipelines."""
     conf_low = cfg.confidence_low
     accepted = cfg.accepted_qr_formats
+    aggressive = cfg.aggressive
+    timeout_s = cfg.kernel_timeout_s
 
     def media_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -201,7 +209,11 @@ def _make_direct_media_fn(cfg: ExtractConfig):
                 for blob in blobs:
                     t0 = time.perf_counter()
                     res = extract_media_span(
-                        bytes(blob) if blob is not None else None, conf_low, accepted
+                        bytes(blob) if blob is not None else None,
+                        conf_low,
+                        accepted,
+                        aggressive=aggressive,
+                        timeout_s=timeout_s,
                     )
                     kernel_ms.append((time.perf_counter() - t0) * 1000.0)
                     kinds.append(

@@ -89,6 +89,12 @@ def get_spark(
             ),
         )
         .config("spark.ui.enabled", "false")
+        # Q9 hard backstop: the per-image soft deadline lives inside
+        # extract_media_span (KERNEL_TIMEOUT_S); the task reaper kills
+        # tasks that a pathological blob hangs past interruption anyway
+        # (reference bounds every engine call at 30 s, config/index.ts:24)
+        .config("spark.task.reaper.enabled", "true")
+        .config("spark.task.reaper.killTimeout", "120s")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # blob-heavy rows: decode cost per byte is high, so scan splits
         # should be small — 16 MiB keeps the first stage wide instead of

@@ -59,14 +59,69 @@ def test_warp_axis_aligned_crop_scales():
     assert warped.shape == (imageops.warp_size(corners)[1], imageops.warp_size(corners)[0])
 
 
-def test_adaptive_threshold_is_binary_and_separates():
+def test_gaussian_blur3_binomial_kernel():
+    # cv2 ksize=3 sigma=0 → fixed [1,2,1]/4 separable kernel; the impulse
+    # response of the 2-D filter is the outer product /16
+    img = np.zeros((5, 5), np.uint8)
+    img[2, 2] = 160
+    out = imageops.gaussian_blur3(img)
+    np.testing.assert_array_equal(
+        out[1:4, 1:4], np.array([[10, 20, 10], [20, 40, 20], [10, 20, 10]])
+    )
+
+
+def test_gaussian_kernel1d_cv2_sigma_rule():
+    # sigma = 0.3*((k-1)*0.5 - 1) + 0.8 → 2.6 for block 15, 5.0 for 31
+    k15 = imageops._gaussian_kernel1d(15)
+    assert abs(k15.sum() - 1.0) < 1e-12
+    # symmetric, peaked at center
+    np.testing.assert_allclose(k15, k15[::-1])
+    assert k15.argmax() == 7
+    # center weight for sigma=2.6: exp(0)/sum
+    sigma = 0.3 * ((15 - 1) * 0.5 - 1.0) + 0.8
+    assert abs(sigma - 2.6) < 1e-12
+
+
+def test_adaptive_threshold_gaussian_is_binary_and_separates():
+    # reference common.py:104-112 — Gaussian-weighted local threshold
     rng = np.random.default_rng(0)
     img = np.clip(rng.normal(120, 5, (64, 64)), 0, 255).astype(np.uint8)
     img[30:34, :] = 20  # dark stroke
-    out = imageops.adaptive_threshold(img)
+    out = imageops.adaptive_threshold_gaussian(img)
     assert set(np.unique(out)) <= {0, 255}
     assert out[32, 32] == 0  # stroke below local mean - C
     assert out[5, 5] == 255
+
+
+def test_adaptive_threshold_gaussian_aggressive_profile():
+    # block 31, C 10 accepts pixels deeper below the local mean than C 5
+    img = np.full((64, 64), 150, np.uint8)
+    img[32, 32] = 143  # 7 below local mean: fails C 5, passes C 10
+    gentle = imageops.adaptive_threshold_gaussian(img, 15, 5)
+    aggressive = imageops.adaptive_threshold_gaussian(img, 31, 10)
+    assert gentle[32, 32] == 0
+    assert aggressive[32, 32] == 255
+
+
+def test_morph_close_2x2_and_open_1x1():
+    # close bridges a 1-px gap with cv2's (0,0)-anchored even kernel
+    m = np.full((6, 6), 255, np.uint8)
+    m[3, 3] = 0
+    closed = imageops.morph_close_2x2(m)
+    assert closed[3, 3] == 255
+    # open with 1×1 kernel is the identity (aggressive profile no-op)
+    rng = np.random.default_rng(1)
+    x = (rng.random((8, 8)) > 0.5).astype(np.uint8) * 255
+    np.testing.assert_array_equal(imageops.morph_open_1x1(x), x)
+
+
+def test_preprocess_for_ocr_profiles_binary_output():
+    rng = np.random.default_rng(2)
+    img = np.clip(rng.normal(140, 20, (48, 48)), 0, 255).astype(np.uint8)
+    for aggressive in (False, True):
+        out = imageops.preprocess_for_ocr(img, aggressive)
+        assert out.dtype == np.uint8
+        assert set(np.unique(out)) <= {0, 255}
 
 
 def test_minmax_normalize_range():
@@ -83,8 +138,3 @@ def test_mask_bbox_corners():
     np.testing.assert_array_equal(corners, [[5, 10], [29, 10], [29, 19], [5, 19]])
 
 
-def test_contrast_stretch_deterministic_and_clipped():
-    img = np.array([[0, 128, 255]], np.uint8)
-    out = imageops.contrast_stretch(img)
-    assert out.dtype == np.uint8
-    assert out[0, 0] == 0 and out[0, 2] == 255  # clipped at both ends

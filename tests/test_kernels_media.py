@@ -159,6 +159,27 @@ def test_extract_media_invalid_blob_failed_status():
     assert res["status"] == "failed" and res["text"] is None
 
 
-def test_extract_media_no_quad_uses_bbox_fallback():
+def test_extract_media_classic_chain_completes():
+    # neural declines or fails → classic P3-P8 chain; annotated quad
+    # metadata is ignored (the chain derives geometry from pixels)
     res = extract_media_span(_blob(quad=False), 0.6, None)
     assert res["status"] == "completed"
+    assert extract_media_span(_blob(quad=True), 0.6, None)["status"] == "completed"
+
+
+def test_extract_media_timeout_guard():
+    # Q9: soft deadline (reference OCR_ENGINE_TIMEOUT, config/index.ts:24)
+    # — an already-expired budget completes the span as FAILED, not a hang
+    res = extract_media_span(_blob(), 0.6, None, timeout_s=1e-9)
+    assert res["status"] == "failed"
+    assert "timeout" in res["error"]
+    # generous budget unaffected
+    assert extract_media_span(_blob(), 0.6, None, timeout_s=30.0)["status"] == "completed"
+
+
+def test_extract_media_aggressive_profile_same_text():
+    # binarization profile changes pixels, not the recognized span text
+    gentle = extract_media_span(_blob(), 0.6, None, aggressive=False)
+    aggressive = extract_media_span(_blob(), 0.6, None, aggressive=True)
+    assert gentle["text"] == aggressive["text"]
+    assert gentle["status"] == aggressive["status"] == "completed"
