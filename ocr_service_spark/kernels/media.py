@@ -6,7 +6,7 @@ This is the batch re-expression of the reference worker's hot path
 the pipeline layer, with recognition models held as executor-level
 singletons.
 
-Real OCR engines (pytesseract / paddleocr / a QR decoder) are not in this
+Real OCR engines (pytesseract / paddleocr / QR decoders) are not in this
 container. The container-boundary is explicit:
 
 - `SIMG1` blobs — the deterministic synthetic image format produced by
@@ -14,8 +14,12 @@ container. The container-boundary is explicit:
   payload; the ``StubRecognizer`` "infers" it after the *real* numpy
   preprocessing chain runs. This keeps the Spark-side plumbing (schemas,
   batching, cascade masking, skew salting) real and benchmarkable.
-- real jpeg/png bytes route to engine adapters that import pytesseract /
-  paddleocr lazily and raise ``NotImplementedError`` when absent.
+- real jpeg/png/webp bytes route through ``decode_real_image`` and the
+  ``TesseractAdapter`` / ``PaddleAdapter`` / ``real_qr_decode`` adapters
+  (executor-level singletons, imported lazily). When the libraries are
+  absent the span completes as FAILED with a clear error; when present
+  (a production container) the full real-image path runs with the same
+  alignment chain and cascade semantics as the SIMG path.
 """
 
 from __future__ import annotations
@@ -157,6 +161,35 @@ def try_qr(meta: dict, accepted_formats: tuple[str, ...] | None) -> dict | None:
     return None
 
 
+def try_qr_real(
+    warped: np.ndarray,
+    preprocessed: np.ndarray,
+    accepted_formats: tuple[str, ...] | None,
+) -> dict | None:
+    """Real-image QR attempt: warped first, then preprocessed, recording
+    found_in_preprocessed (processor.ts:176-217,278-339); quietly skips
+    to the OCR path when no QR library is importable."""
+    for variant, frame in (("warped", warped), ("preprocessed", preprocessed)):
+        try:
+            hit = real_qr_decode(frame)
+        except ImportError:
+            return None  # no decoder in this container → OCR path
+        except Exception:
+            continue  # decoder error on this variant → try the other
+        if hit is None:
+            continue
+        fmt = classify_qr_format(hit["data"])
+        if accepted_formats is not None and fmt not in accepted_formats:
+            return None
+        return {
+            "qr_data": hit["data"],
+            "qr_format": fmt,
+            "qr_location": hit["location"],
+            "found_in_preprocessed": variant == "preprocessed",
+        }
+    return None
+
+
 # --------------------------------------------------------------------------
 # recognizers
 # --------------------------------------------------------------------------
@@ -199,17 +232,183 @@ class StubRecognizer:
         return text, conf
 
 
+class TesseractAdapter:
+    """Real pytesseract engine (reference tesseract.py:52-136): grayscale
+    → image_to_data with --psm 3 --oem 3 lang rus+eng → keep tokens with
+    conf > 0 and non-empty stripped text → text = ' '.join(tokens),
+    confidence = mean(conf)/100 (empty → 0.0)."""
+
+    name = "tesseract"
+    PSM, OEM, LANG = 3, 3, "rus+eng"  # tesseract/src/config.py:22-36
+
+    def __init__(self) -> None:
+        import pytesseract
+
+        self._pt = pytesseract
+
+    def recognize(self, image: np.ndarray) -> tuple[str, float]:
+        try:
+            from PIL import Image
+
+            inp = Image.fromarray(image)
+        except ImportError:
+            inp = image  # pytesseract accepts ndarrays when PIL is present
+        data = self._pt.image_to_data(
+            inp,
+            lang=self.LANG,
+            config=f"--psm {self.PSM} --oem {self.OEM}",
+            output_type=self._pt.Output.DICT,
+        )
+        tokens, confs = [], []
+        for i, conf in enumerate(data["conf"]):
+            if conf > 0:  # -1 marks empty blocks (tesseract.py:102-104)
+                text = data["text"][i].strip()
+                if text:
+                    tokens.append(text)
+                    confs.append(float(conf))
+        full = " ".join(tokens)  # tesseract.py:111
+        avg = (sum(confs) / len(confs)) / 100.0 if confs else 0.0
+        return full, avg
+
+
+class PaddleAdapter:
+    """Real PaddleOCR engine (reference ocr_service.py:25-52 + paddleocr
+    ocr.py:98-140): predict() results parsed as rec_texts/rec_scores →
+    text = '\\n'.join(block texts), confidence = mean(scores)."""
+
+    name = "paddleocr"
+
+    def __init__(self) -> None:
+        from paddleocr import PaddleOCR
+
+        self._ocr = PaddleOCR(lang="ru")  # paddle_lang default, config.py
+
+    def recognize(self, image: np.ndarray) -> tuple[str, float]:
+        rgb = np.repeat(image[:, :, None], 3, axis=2)  # gray → RGB
+        results = self._ocr.predict(rgb)
+        texts: list[str] = []
+        scores: list[float] = []
+        for result in results:
+            res = getattr(result, "json", {}).get("res", {})
+            rec_texts = res.get("rec_texts", [])
+            rec_scores = res.get("rec_scores", [])
+            for i, text in enumerate(rec_texts):
+                texts.append(text)
+                scores.append(float(rec_scores[i]) if i < len(rec_scores) else 0.0)
+        avg = sum(scores) / len(scores) if scores else 0.0
+        return "\n".join(texts), avg  # ocr.py:117,136
+
+
+_REAL_ENGINES: dict[str, object] = {}  # executor-level singletons
+
+
 def _real_engine(engine: str):
-    """Adapter for real OCR engines, imported lazily; absent in this
-    container → NotImplementedError (plumbing is container-gated, the
-    SIMG path is the tested one)."""
-    if engine == "tesseract":
-        import pytesseract  # noqa: F401
+    """Lazy executor-singleton adapter for a real OCR engine. Raises
+    ImportError when the library is absent (this container), keeping the
+    SIMG stub the tested default; with pytesseract / paddleocr installed
+    the adapters above run real inference."""
+    adapter = _REAL_ENGINES.get(engine)
+    if adapter is None:
+        adapter = TesseractAdapter() if engine == "tesseract" else PaddleAdapter()
+        _REAL_ENGINES[engine] = adapter
+    return adapter
 
-        raise NotImplementedError("pytesseract adapter: wire image_to_data psm=3 oem=3")
-    import paddleocr  # noqa: F401
 
-    raise NotImplementedError("paddleocr adapter: wire PaddleOCR.predict")
+def real_qr_decode(image: np.ndarray) -> dict | None:
+    """Real QR decode over one grayscale frame (reference
+    processor.ts:278-339 uses zxing-wasm readBarcodes, formats=[QRCode],
+    tryHarder). Tries zxing-cpp, then pyzbar, then cv2.QRCodeDetector —
+    whichever is importable; raises ImportError when none are."""
+    try:
+        import zxingcpp
+
+        hits = zxingcpp.read_barcodes(
+            image, formats=zxingcpp.BarcodeFormat.QRCode, try_rotate=True
+        )
+        if not hits:
+            return None
+        h = hits[0]
+        pos = h.position
+        xs = [pos.top_left.x, pos.top_right.x, pos.bottom_right.x, pos.bottom_left.x]
+        ys = [pos.top_left.y, pos.top_right.y, pos.bottom_right.y, pos.bottom_left.y]
+        return {
+            "data": h.text,
+            "location": {  # Position → {x,y,width,height} (processor.ts:357-364)
+                "x": int(min(xs)),
+                "y": int(min(ys)),
+                "width": int(max(xs) - min(xs)),
+                "height": int(max(ys) - min(ys)),
+            },
+        }
+    except ImportError:
+        pass
+    try:
+        from pyzbar import pyzbar
+
+        hits = [s for s in pyzbar.decode(image) if s.type == "QRCODE"]
+        if not hits:
+            return None
+        h = hits[0]
+        return {
+            "data": h.data.decode("utf-8", "replace"),
+            "location": {
+                "x": int(h.rect.left),
+                "y": int(h.rect.top),
+                "width": int(h.rect.width),
+                "height": int(h.rect.height),
+            },
+        }
+    except ImportError:
+        pass
+    import cv2  # last resort; raises ImportError when absent too
+
+    data, points, _ = cv2.QRCodeDetector().detectAndDecode(image)
+    if not data:
+        return None
+    xs, ys = points[0][:, 0], points[0][:, 1]
+    return {
+        "data": data,
+        "location": {
+            "x": int(xs.min()),
+            "y": int(ys.min()),
+            "width": int(xs.max() - xs.min()),
+            "height": int(ys.max() - ys.min()),
+        },
+    }
+
+
+def decode_real_image(blob: bytes) -> np.ndarray:
+    """P1 decode for real jpeg/png/webp bytes → grayscale uint8 ndarray
+    (reference cv2.imdecode at aligner.py:144-152 / PIL at paddleocr
+    ocr.py:60-68; this engine is grayscale-native). Raises ImportError
+    when no codec library is available."""
+    try:
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
+    except ImportError:
+        pass
+    import cv2
+
+    arr = cv2.imdecode(np.frombuffer(blob, np.uint8), 0)  # IMREAD_GRAYSCALE
+    if arr is None:
+        raise ValueError("undecodable image bytes")
+    return arr
+
+
+class RealRecognizer:
+    """Recognizer over real image bytes: dispatches each cascade attempt
+    to the executor-singleton engine adapters. Same contract as
+    StubRecognizer (meta is unused — real engines read pixels)."""
+
+    name = "real"
+
+    def recognize(
+        self, meta: dict, image: np.ndarray, engine: str, variant: str
+    ) -> tuple[str, float]:
+        return _real_engine(engine).recognize(image)
 
 
 # --------------------------------------------------------------------------
@@ -225,17 +424,25 @@ def run_cascade(
     attempts: tuple[tuple[str, str], ...] = CASCADE_ATTEMPTS,
 ) -> EngineResult:
     """Confidence-gated engine cascade (processor.ts:366-477): accept the
-    first attempt with confidence >= threshold_low; if all attempts are
-    below the gate, return the LAST attempt's (low-confidence) result
-    (processor.ts:443-474)."""
+    first attempt with confidence >= threshold_low; an attempt that
+    RAISES counts as an engine failure and the cascade moves on
+    (processor.ts:424-441); if all attempts are below the gate, return
+    the LAST completed attempt's (low-confidence) result
+    (processor.ts:443-474); if every attempt raised, raise."""
     last: EngineResult | None = None
+    last_err: Exception | None = None
     for engine, variant in attempts:
         img = preprocessed if variant == "preprocessed" else warped
-        text, conf = recognizer.recognize(meta, img, engine, variant)
+        try:
+            text, conf = recognizer.recognize(meta, img, engine, variant)
+        except Exception as exc:  # engine failure → next attempt
+            last_err = exc
+            continue
         last = EngineResult(text, conf, engine, variant == "preprocessed")
         if conf >= confidence_low:
             return last
-    assert last is not None
+    if last is None:
+        raise RuntimeError(f"all OCR attempts failed: {last_err}")
     return last
 
 
@@ -269,24 +476,29 @@ def extract_media_span(
     def _timed_out() -> bool:
         return deadline is not None and _time.monotonic() > deadline
 
-    recognizer = recognizer or StubRecognizer()
     err = validate_media(blob)
     if err is not None:
         return {"status": "failed", "error": err, "kind": "media_text", "text": None}
 
-    if not blob.startswith(SIMG_MAGIC):
-        # real image formats: container-gated engine path
+    if blob.startswith(SIMG_MAGIC):
+        meta, img = decode_simg(blob)
+        recognizer = recognizer or StubRecognizer()
+    else:
+        # real jpeg/png/webp bytes: decode + real engine adapters (both
+        # import-guarded — absent libraries yield a failed span, never a
+        # crash; with PIL/pytesseract/paddleocr installed this is the
+        # full real-image path)
         try:
-            _real_engine("tesseract")
-        except (ImportError, NotImplementedError) as exc:
+            img = decode_real_image(blob)
+        except (ImportError, ValueError) as exc:
             return {
                 "status": "failed",
-                "error": f"real-image OCR unavailable: {exc}",
+                "error": f"real-image decode unavailable: {exc}",
                 "kind": "media_text",
                 "text": None,
             }
-
-    meta, img = decode_simg(blob)
+        meta = {}
+        recognizer = recognizer or RealRecognizer()
 
     # --- alignment (hybrid dispatch P12, reference hybrid.py:47-110) ---
     img = imageops.downscale_max_side(img)  # det_limit_side_len analog
@@ -335,7 +547,10 @@ def extract_media_span(
     preprocessed = imageops.preprocess_for_ocr(warped, aggressive)  # P13
 
     # --- QR short-circuit (R7) ---
-    qr = try_qr(meta, accepted_qr_formats)
+    if meta:
+        qr = try_qr(meta, accepted_qr_formats)
+    else:
+        qr = try_qr_real(warped, preprocessed, accepted_qr_formats)
     if qr is not None:
         return {
             "status": "completed",
@@ -356,7 +571,15 @@ def extract_media_span(
             "kind": "media_text",
             "text": None,
         }
-    res = run_cascade(meta, warped, preprocessed, confidence_low, recognizer)
+    try:
+        res = run_cascade(meta, warped, preprocessed, confidence_low, recognizer)
+    except Exception as exc:  # all attempts raised → markAsFailed analog
+        return {
+            "status": "failed",
+            "error": str(exc),
+            "kind": "media_text",
+            "text": None,
+        }
     return {
         "status": "completed",
         "kind": "media_text",

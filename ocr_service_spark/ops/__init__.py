@@ -17,6 +17,41 @@ def load(spark, sf_dir: str, name: str):
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def parse_size_bytes(s: str) -> int:
+    """Parse a Spark size conf string ('16m', '128k', '1g', '134217728')."""
+    s = str(s).strip().lower().removesuffix("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def estimated_scan_partitions(df) -> int | None:
+    """Estimated scan partition count for a file-backed frame from file
+    sizes and spark.sql.files.maxPartitionBytes — WITHOUT df.rdd, which
+    would force an RDD conversion of the whole plan. None for non-file
+    frames."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    mpb = parse_size_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    return max(1, -(-total // max(1, mpb)))
+
+
 def widen(df):
     """Spread a narrow scan across all cores before CPU-heavy per-row
     expressions.
@@ -28,6 +63,9 @@ def widen(df):
     extra shuffle only exists where it buys a ~#cores speedup.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = estimated_scan_partitions(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()  # non-file frame: local/test-sized
+    if est < target:
         return df.repartition(target)
     return df

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.utils import AnalysisException
 
 from ..config import ExtractConfig
-from .extract import run_extract
+from .extract import release_persisted, run_extract
 
 DEFAULT_BUCKETS = 64
 
@@ -107,6 +107,7 @@ def run_resumable(
     stats = todo.agg(
         F.count("*").alias("d"), F.countDistinct("bucket").alias("b")
     ).collect()[0]
+    release_persisted()  # all actions done — drop the run's OCR-result cache
     return {"processed_docs": stats["d"], "processed_buckets": stats["b"]}
 
 

@@ -200,41 +200,48 @@ def _make_direct_media_fn(cfg: ExtractConfig):
                 for p, rg in zip(paths, rgs)
             ]
             for path, rg in work:
-                tbl = pq.ParquetFile(path).read_row_group(
-                    rg, columns=["media_ref", "content"]
-                )
-                refs = tbl.column("media_ref").to_pylist()
-                blobs = tbl.column("content").to_pylist()
-                texts, kinds = [], []
-                for blob in blobs:
-                    t0 = time.perf_counter()
-                    res = extract_media_span(
-                        bytes(blob) if blob is not None else None,
-                        conf_low,
-                        accepted,
-                        aggressive=aggressive,
-                        timeout_s=timeout_s,
+                # stream the row group in bounded batches instead of
+                # materializing it whole: datagen writes 16-row groups,
+                # but an externally-written table with default-sized row
+                # groups would otherwise pull hundreds of MB of blobs
+                # into the python worker at once (the Arrow path is
+                # capped at 32 MiB/batch; 16 rows × the 10 MiB ingest
+                # gate bounds this path similarly)
+                for tbl in pq.ParquetFile(path).iter_batches(
+                    batch_size=16, row_groups=[rg], columns=["media_ref", "content"]
+                ):
+                    refs = tbl.column("media_ref").to_pylist()
+                    blobs = tbl.column("content").to_pylist()
+                    texts, kinds = [], []
+                    for blob in blobs:
+                        t0 = time.perf_counter()
+                        res = extract_media_span(
+                            bytes(blob) if blob is not None else None,
+                            conf_low,
+                            accepted,
+                            aggressive=aggressive,
+                            timeout_s=timeout_s,
+                        )
+                        kernel_ms.append((time.perf_counter() - t0) * 1000.0)
+                        kinds.append(
+                            res["kind"] if res["status"] == "completed" else "media_text"
+                        )
+                        texts.append(res.get("text"))
+                        ocr_chars += len(res.get("text") or "")
+                    n_blobs += len(refs)
+                    yield pd.DataFrame(
+                        {
+                            "media_ref": refs,
+                            "kind": kinds,
+                            "text": texts,
+                            "row_type": "span",
+                            "part_id": part_id,
+                            "n_blobs": None,
+                            "ocr_chars": None,
+                            "kernel_ms_p50": None,
+                            "kernel_ms_max": None,
+                        }
                     )
-                    kernel_ms.append((time.perf_counter() - t0) * 1000.0)
-                    kinds.append(
-                        res["kind"] if res["status"] == "completed" else "media_text"
-                    )
-                    texts.append(res.get("text"))
-                    ocr_chars += len(res.get("text") or "")
-                n_blobs += len(refs)
-                yield pd.DataFrame(
-                    {
-                        "media_ref": refs,
-                        "kind": kinds,
-                        "text": texts,
-                        "row_type": "span",
-                        "part_id": part_id,
-                        "n_blobs": None,
-                        "ocr_chars": None,
-                        "kernel_ms_p50": None,
-                        "kernel_ms_max": None,
-                    }
-                )
         ms = sorted(kernel_ms)
         yield pd.DataFrame(
             {
@@ -270,13 +277,29 @@ def _split_cost_ms(rows: int, nbytes: int) -> float:
     return rows * COST_MS_PER_ROW + (nbytes / 1e6) * COST_MS_PER_MB
 
 
+def _is_bare_scan(media: DataFrame) -> bool:
+    """True only when the analyzed logical plan is a plain file relation —
+    no Filter/Project/anything above it. inputFiles() alone is NOT enough:
+    it also succeeds for filtered/projected parquet-backed frames, and a
+    direct read of those files would silently ignore the caller's
+    transformations (the Arrow fallback path honors the full plan)."""
+    try:
+        plan = media._jdf.queryExecution().analyzed()  # noqa: SLF001
+        return plan.getClass().getSimpleName() == "LogicalRelation"
+    except Exception:
+        return False
+
+
 def _direct_read_splits(media: DataFrame) -> list[tuple[str, int, int, int]] | None:
     """(path, row_group, bytes, rows) splits for a file-backed media
-    DataFrame, or None when the frame is not a plain file scan. Parquet
-    footers give exact per-row-group byte and row counts — the decode-cost
-    estimate comes from table statistics, no data scan needed. (At
-    10^12-doc scale this listing comes from the Iceberg manifests instead
-    of a driver loop; same split tuples either way.)"""
+    DataFrame, or None when the frame is not a bare untransformed file
+    scan (_is_bare_scan). Parquet footers give exact per-row-group byte
+    and row counts — the decode-cost estimate comes from table
+    statistics, no data scan needed. (At 10^12-doc scale this listing
+    comes from the Iceberg manifests instead of a driver loop; same
+    split tuples either way.)"""
+    if not _is_bare_scan(media):
+        return None
     try:
         files = media.inputFiles()
     except Exception:
@@ -318,6 +341,22 @@ def _lpt_pack(
         bins[idx][1].append(rg)
         heapq.heappush(heap, (size + cost, idx))
     return bins
+
+
+# frames persisted by runs in this session, released via release_persisted()
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every frame cached by prior run_extract calls. Call
+    after the run's output/metrics actions complete; a long-lived session
+    would otherwise accumulate one cached frame per run in executor
+    storage memory."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
 
 
 def _media_branch(
@@ -391,14 +430,23 @@ def _media_branch(
             _make_direct_media_fn(cfg), schema=_MEDIA_RESULT_SCHEMA
         )
     else:
-        # generic fallback (in-memory or non-parquet media): Arrow path
+        # generic fallback (in-memory, filtered, or non-parquet media):
+        # Arrow path, which honors the caller's full logical plan
+        from ..ops import estimated_scan_partitions
+
         blobs = media.select("media_ref", "content")
-        if blobs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        est = estimated_scan_partitions(blobs)
+        if est is None:
+            est = blobs.rdd.getNumPartitions()  # in-memory frames only
+        if est < spark.sparkContext.defaultParallelism:
             blobs = blobs.repartition(cost_partition_count(media), F.col("media_ref"))
         results = blobs.mapInPandas(_make_media_fn(cfg), schema=_MEDIA_RESULT_SCHEMA)
     # persist the NARROW results so the metrics action does not re-run OCR
-    # (text-sized cache; blob bytes are not retained)
+    # (text-sized cache; blob bytes are not retained). Registered so
+    # long-lived sessions (bench.py runs many queries) can release the
+    # cache once the run's actions complete (release_persisted).
     results = results.persist()
+    _PERSISTED.append(results)
     res_spans = results.filter(F.col("row_type") == "span").select(
         "media_ref", "kind", "text"
     )

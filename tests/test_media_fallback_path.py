@@ -72,6 +72,29 @@ def test_dangling_media_ref_yields_failed_span(spark, frames):
     assert got["d2"] == [("media_text", None, "GONE", 0)]
 
 
+def test_filtered_media_frame_honors_plan(spark, dataset):
+    """A filtered media frame must NOT be direct-read (the direct path
+    reads whole files and would ignore the filter): excluded blobs yield
+    dangling-ref spans, exactly like the Arrow path."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(dataset["documents"])
+    media = spark.read.parquet(dataset["media"])
+    some_ref = media.select("media_ref").first()["media_ref"]
+    filtered = media.filter(F.col("media_ref") != some_ref)
+    output, _ = run_extract(spark, docs, filtered, ExtractConfig())
+    spans = _collect_spans(output)
+    hits = [
+        s
+        for doc in spans.values()
+        for s in doc
+        if s[2] == some_ref
+    ]
+    assert hits, "dataset should reference the excluded blob"
+    # excluded blob → no extraction result joined in (null text)
+    assert all(s[1] is None for s in hits)
+
+
 def test_direct_and_fallback_paths_agree(spark, dataset):
     """Same dataset through both physical paths → identical span output."""
     import os
