@@ -182,6 +182,9 @@ SELECT simhash, count(*) AS n_docs FROM hashes GROUP BY simhash
 
 # --- n-gram Jaccard ---------------------------------------------------------------
 
+MAX_SHINGLE_BUCKET = 64  # frequent-shingle cap: drop posting lists above this
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard similarity for same-lang doc pairs sharing ≥1
     trigram; returns pairs above 0.05 (histogram by rounded bin).
@@ -189,9 +192,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: group-by-shingle pair generation, NOT a self-join of the
     exploded trigram table — one scan of the corpus, one shuffle on
     (lang, trigram), pairs emitted row-locally from each posting list.
-    A frequent-shingle cap (drop buckets larger than `max_bucket`) is the
-    production guard against O(n²) mega-buckets; left unset here so the
-    DuckDB oracle (no cap) matches exactly."""
+    The frequent-shingle cap (posting lists larger than
+    MAX_SHINGLE_BUCKET are dropped) is the production guard against
+    O(n²) mega-buckets from stop-phrase trigrams; the DuckDB oracle
+    applies the identical cap so both sides stay comparable
+    (test_jaccard_mega_bucket_dropped pins the behavior)."""
     docs = widen(load(spark, sf_dir, "documents"))
     # materialize the word array in its own projection: inlining it into
     # the lambda would re-split the text once per trigram (Catalyst only
@@ -210,7 +215,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         ex.groupBy("lang", "g")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(
+            (F.size("ds") > 1) & (F.size("ds") <= MAX_SHINGLE_BUCKET)
+        )
     )
     # all ordered pairs within a posting list (d1 < d2 via the sort above)
     pairs = buckets.select(
@@ -233,7 +240,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_JACCARD = """
+_ORACLE_JACCARD = f"""
 WITH ex AS (
   SELECT doc_id, lang, unnest(list_distinct(list_transform(
            range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
@@ -241,9 +248,14 @@ WITH ex AS (
   FROM documents
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+ok_buckets AS (
+  SELECT lang, g FROM ex GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_BUCKET}
+),
+exf AS (SELECT ex.* FROM ex JOIN ok_buckets USING (lang, g)),
 common AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-  FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  FROM exf a JOIN exf b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jac AS (
@@ -257,12 +269,43 @@ FROM jac WHERE jaccard >= 0.05 GROUP BY 1
 
 # --- embedding cosine near-dup ------------------------------------------------------
 
+NEARDUP_TARGET_BUCKET = 32  # expected vectors per LSH bucket
+
+
+def _neardup_bits(n_vectors: int) -> int:
+    """Sign-LSH bit count sized to the corpus: bucket count scales with n
+    so the EXPECTED bucket population stays ~NEARDUP_TARGET_BUCKET and
+    candidate pairs stay ~linear in corpus size. (A fixed bit count — or
+    a fixed-cardinality key like label — degrades to O(n²) per block
+    once buckets saturate.)"""
+    import math
+
+    return max(1, math.ceil(math.log2(max(n_vectors / NEARDUP_TARGET_BUCKET, 2.0))))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs with cosine ≥ 0.3 inside the same label block (label is the
-    blocking key; at scale the block would be an LSH/IVF bucket)."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    """Pairs with cosine ≥ 0.3 inside the same sign-LSH bucket.
+
+    The blocking key is a corpus-sized sign-LSH bucket (see
+    `_neardup_bits`), NOT a fixed-cardinality attribute like label:
+    per-bucket population — and therefore candidate pairs — stays
+    ~linear in corpus size (the standard near-dup layout at 100 TB).
+    Same-orthant blocking trades a little recall for that bound, like
+    any LSH scheme. `test_dedup_scale_shapes` demonstrates the
+    sub-quadratic growth on the sf0.001 → sf0.1 testdata. The count()
+    sizing the bits is a metadata-only scan (Iceberg/parquet row counts
+    come from footers)."""
+    emb_raw = load(spark, sf_dir, "embeddings")
+    bits = _neardup_bits(emb_raw.count())
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i) >= 0, "+").otherwise("-")
+            for i in range(1, bits + 1)
+        ]
+    )
+    emb = emb_raw.select(
         "vec_id",
-        "label",
+        bucket.alias("bucket"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
@@ -274,29 +317,43 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
-            F.col("a.label").alias("label"),
+            F.col("a.bucket").alias("bucket"),
             (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
         )
         .filter(F.col("cos") >= 0.3)
     )
-    return pairs.groupBy("label").agg(F.count("*").alias("n_neardup_pairs"))
+    return pairs.groupBy("bucket").agg(F.count("*").alias("n_neardup_pairs"))
 
 
-_ORACLE_EMB_NEARDUP = """
-WITH e AS (
-  SELECT vec_id, label, embedding,
+def _emb_neardup_sql() -> str:
+    # the oracle computes the same corpus-sized bit count in SQL so both
+    # sides bucket identically at any scale factor
+    return f"""
+WITH b AS (
+  SELECT greatest(1, CAST(ceil(log2(greatest(count(*) / {NEARDUP_TARGET_BUCKET}.0, 2.0))) AS INT)) AS bits
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id,
+         array_to_string(list_transform(embedding[1:(SELECT bits FROM b)],
+             x -> CASE WHEN x >= 0 THEN '+' ELSE '-' END), '') AS bucket,
+         embedding,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
 ),
 pairs AS (
-  SELECT a.label,
+  SELECT a.bucket,
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT label, count(*) AS n_neardup_pairs FROM pairs WHERE cos >= 0.3 GROUP BY label
+SELECT bucket, count(*) AS n_neardup_pairs FROM pairs WHERE cos >= 0.3 GROUP BY bucket
 """
 
 
@@ -315,5 +372,5 @@ ORACLES = {
     "minhash_lsh_buckets": _ORACLE_LSH,
     "simhash_histogram": _simhash_sql(),
     "ngram_jaccard_pairs": _ORACLE_JACCARD,
-    "embedding_neardup": _ORACLE_EMB_NEARDUP,
+    "embedding_neardup": _emb_neardup_sql(),
 }
