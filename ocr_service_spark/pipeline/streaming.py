@@ -46,15 +46,9 @@ def run_extract_streaming(
     return run_extract(spark, docs_stream, media, cfg)
 
 
-def extract_stream_to_memory(
-    spark: SparkSession,
-    data_dir: str,
-    query_name: str = "extract_stream_sink",
-    cfg: ExtractConfig | None = None,
-) -> DataFrame:
-    """Convenience/demo runner: stream the documents table through the
-    pipeline into a memory sink, drain synchronously, and return the
-    materialized result (one row per document, same shape as batch)."""
+def _staged_docs_stream(spark: SparkSession, data_dir: str) -> DataFrame:
+    """readStream over the documents table (FileStreamSource wants a
+    directory — stage the single parquet file once)."""
     import hashlib
     import os
     import shutil
@@ -62,7 +56,6 @@ def extract_stream_to_memory(
 
     src = f"{data_dir}/documents.parquet"
     batch_docs = spark.read.parquet(src)
-    # FileStreamSource wants a directory — stage the single file once
     stage = os.path.join(
         tempfile.gettempdir(),
         f"stream-docs-{hashlib.md5(src.encode()).hexdigest()[:12]}",
@@ -71,7 +64,84 @@ def extract_stream_to_memory(
     dst = os.path.join(stage, "documents.parquet")
     if not os.path.exists(dst):
         shutil.copyfile(src, dst)
-    docs_stream = spark.readStream.schema(batch_docs.schema).parquet(stage)
+    return spark.readStream.schema(batch_docs.schema).parquet(stage)
+
+
+def extract_stream_to_files(
+    spark: SparkSession,
+    data_dir: str,
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    n_buckets: int = 64,
+) -> None:
+    """PRODUCTION streaming sink: readStream over the documents table →
+    ``foreachBatch`` running the full BATCH extraction plan per
+    micro-batch → bucketed parquet, idempotently.
+
+    Why foreachBatch instead of a streaming aggregation + file sink: the
+    input is an append-only table of COMPLETE documents (the reference's
+    one-job-per-finished-upload semantics, worker/processor.ts:8-115),
+    so each micro-batch is a self-contained batch job — ordered span
+    reassembly needs no cross-batch state, the python-direct blob path
+    stays available, and nothing is ever collected to the driver (the
+    memory-sink drain in extract_stream_to_memory / ops.streaming is a
+    test-and-oracle harness only).
+
+    Exactly-once: output partitions by (batch_id, bucket) with dynamic
+    partition overwrite — a replayed micro-batch (after a crash, from
+    the streaming checkpoint) rewrites ONLY its own batch_id partitions,
+    byte-identically. The streaming checkpoint under
+    ``{out_dir}/_stream_checkpoint`` tracks consumed source files."""
+    from pyspark.sql import functions as F
+
+    from .checkpoint import bucket_expr
+    from .extract import release_persisted
+
+    cfg = cfg or ExtractConfig()
+    media = spark.read.parquet(f"{data_dir}/media.parquet")
+    docs_stream = _staged_docs_stream(spark, data_dir)
+    out_path = f"{out_dir}/extracted"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        output, _metrics = run_extract(spark, batch_df, media, cfg)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            output.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("bucket", bucket_expr(n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "bucket")
+            .parquet(out_path)
+        )
+        release_persisted()
+
+    q = (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{out_dir}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the file-sink output back in the batch output shape."""
+    return spark.read.parquet(f"{out_dir}/extracted").drop("batch_id", "bucket")
+
+
+def extract_stream_to_memory(
+    spark: SparkSession,
+    data_dir: str,
+    query_name: str = "extract_stream_sink",
+    cfg: ExtractConfig | None = None,
+) -> DataFrame:
+    """TEST/demo runner (memory sink is driver-resident — production
+    runs go through ``extract_stream_to_files``): stream the documents
+    table through the pipeline into a memory sink, drain synchronously,
+    and return the materialized result (one row per document, same shape
+    as batch)."""
+    docs_stream = _staged_docs_stream(spark, data_dir)
     media = spark.read.parquet(f"{data_dir}/media.parquet")
     output, _metrics = run_extract_streaming(spark, docs_stream, media, cfg)
     q = (

@@ -24,3 +24,22 @@ def test_streaming_extract_matches_golden(spark, dataset):
     assert set(got) == set(golden)
     mismatched = [d for d in golden if got[d] != golden[d]]
     assert mismatched == [], f"{len(mismatched)} docs mismatch, e.g. {mismatched[:3]}"
+
+
+def test_streaming_file_sink_matches_golden(spark, dataset, tmp_path):
+    """The PRODUCTION path — foreachBatch into a bucketed parquet sink —
+    must reproduce the golden span sequences byte-equal, read back from
+    disk (no driver-side collect anywhere in the write path)."""
+    from ocr_service_spark.pipeline.streaming import (
+        extract_stream_to_files,
+        read_stream_output,
+    )
+
+    data_dir = os.path.dirname(dataset["documents"])
+    out_dir = str(tmp_path / "stream-out")
+    extract_stream_to_files(spark, data_dir, out_dir)
+    got = _seqs(read_stream_output(spark, out_dir).collect())
+    golden = _seqs(spark.read.parquet(dataset["golden"]).collect())
+    assert set(got) == set(golden)
+    mismatched = [d for d in golden if got[d] != golden[d]]
+    assert mismatched == [], f"{len(mismatched)} docs mismatch, e.g. {mismatched[:3]}"
