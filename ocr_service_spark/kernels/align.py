@@ -195,7 +195,21 @@ _DIRS = np.array(
 )
 
 
-_SPEC_CHUNK = 64  # speculative-scan block size (bounds worst-case rework)
+_SPEC_CHUNK = 64  # initial speculative-scan block size
+_SPEC_CHUNK_MAX = 4096  # growth cap (bounds worst-case rework per miss)
+_POWER_TABLES: dict[float, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _power_tables(alpha: float) -> tuple[np.ndarray, np.ndarray]:
+    """Cached (r^j, r^-j) tables for the closed-form mean recurrence —
+    computing r**arange per chunk was ~30 µs of transcendentals each."""
+    tabs = _POWER_TABLES.get(alpha)
+    if tabs is None:
+        r = 1.0 - alpha
+        j = np.arange(_SPEC_CHUNK_MAX + 1, dtype=np.float64)
+        tabs = (r ** j, r ** (-j[:-1]))
+        _POWER_TABLES[alpha] = tabs
+    return tabs
 
 
 def _scan_frontier(
@@ -215,18 +229,24 @@ def _scan_frontier(
     n = len(colors)
     acc = np.zeros(n, dtype=bool)
     r = 1.0 - alpha
+    pow_r, pow_inv = _power_tables(alpha)
     i = 0
+    # adaptive speculation: double the block on every fully-accepted
+    # block (interior frontiers commit in O(n/CH_MAX) vector ops), reset
+    # on a rejection (boundary regions fall back to small exact blocks)
+    ch = _SPEC_CHUNK
     while i < n:
-        chunk = colors[i : i + _SPEC_CHUNK]
+        chunk = colors[i : i + ch]
         k = len(chunk)
         if abs(chunk[0] - mean) > tol:
             # reject-run: mean frozen, decisions independent
             rejected = np.abs(chunk - mean) > tol
             g = int(np.argmin(rejected)) if not rejected.all() else k
             i += max(g, 1)
+            ch = _SPEC_CHUNK
             continue
-        powers = r ** np.arange(1, k + 1)
-        inv = r ** (-np.arange(k, dtype=np.float64))  # ≤ (1/r)^63 ≈ 1.37
+        powers = pow_r[1 : k + 1]
+        inv = pow_inv[:k]  # ≤ (1/r)^4095 ≈ 8e8, fine in float64
         pref = np.cumsum(chunk * inv)
         m_after = powers * mean + alpha * (powers / r) * pref
         m_before = np.empty(k)
@@ -237,11 +257,13 @@ def _scan_frontier(
             acc[i : i + k] = True
             mean = float(m_after[-1])
             i += k
+            ch = min(ch * 2, _SPEC_CHUNK_MAX)
             continue
         f = int(np.argmin(dec))  # first rejection; f >= 1 (dec[0] is True)
         acc[i : i + f] = True
         mean = float(m_before[f])  # pixel f rejected against this exact mean
         i += f + 1
+        ch = _SPEC_CHUNK
     return acc, mean
 
 
@@ -258,12 +280,24 @@ def flood_fill(img: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
     mean = float(np.mean(samples))
     tol = compute_auto_tolerance(samples, mean)
 
-    mask = np.zeros((h, w), dtype=np.uint8)
-    visited = np.zeros((h, w), dtype=bool)
-    flat = img.reshape(-1)
+    # padded index space: a 1-px always-visited border removes all bounds
+    # checks and the per-level divmod — neighbors are 8 flat offsets
+    pw = w + 2
+    visited = np.zeros((h + 2) * pw, dtype=bool)
+    visited[:pw] = True
+    visited[-pw:] = True
+    visited[::pw] = True
+    visited[pw - 1 :: pw] = True
+    padded = np.zeros((h + 2, w + 2), dtype=img.dtype)
+    padded[1:-1, 1:-1] = img
+    flat = padded.reshape(-1)
+    offsets = (_DIRS[:, 0] * pw + _DIRS[:, 1]).astype(np.int64)
+
     sx, sy = seed
-    visited[sy, sx] = True
-    frontier = np.array([sy * w + sx], dtype=np.int64)
+    start = (sy + 1) * pw + (sx + 1)
+    visited[start] = True
+    frontier = np.array([start], dtype=np.int64)
+    accepted_all: list[np.ndarray] = []
 
     while frontier.size:
         colors = flat[frontier].astype(np.float64)
@@ -271,25 +305,22 @@ def flood_fill(img: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
         accepted = frontier[ok]
         if accepted.size == 0:
             break
-        mask.reshape(-1)[accepted] = 255
-
-        ay, ax = np.divmod(accepted, w)
+        accepted_all.append(accepted)
         # expand in reference dir-order per accepted pixel (FIFO-major):
         # candidate array shape (n_accepted, 8) flattened row-major keeps
         # the deque enqueue order
-        ny = ay[:, None] + _DIRS[None, :, 0]
-        nx = ax[:, None] + _DIRS[None, :, 1]
-        inb = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
-        cand = (ny * w + nx).ravel()[inb.ravel()]
-        if cand.size == 0:
-            break
+        cand = (accepted[:, None] + offsets[None, :]).ravel()
+        cand = cand[~visited[cand]]  # cheap prefilter before the sort
         # first-occurrence dedup preserving order (visited-at-enqueue)
-        uniq, first_idx = np.unique(cand, return_index=True)
-        fresh = ~visited.reshape(-1)[uniq]
-        order = np.sort(first_idx[fresh])
-        frontier = cand[order]
-        visited.reshape(-1)[frontier] = True
+        _uniq, first_idx = np.unique(cand, return_index=True)
+        frontier = cand[np.sort(first_idx)]
+        visited[frontier] = True
 
+    mask = np.zeros((h, w), dtype=np.uint8)
+    if accepted_all:
+        acc = np.concatenate(accepted_all)
+        ys, xs = np.divmod(acc, pw)
+        mask[ys - 1, xs - 1] = 255
     return mask
 
 
@@ -417,35 +448,78 @@ def _trace_boundary(fg: np.ndarray, start: tuple[int, int]) -> np.ndarray:
     return np.array(contour, dtype=np.float64)
 
 
+def _row_runs(fg: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Horizontal foreground runs as (row, start, end_exclusive) arrays,
+    row-major ordered — the O(transitions) representation that makes
+    labeling cheap (a per-pixel flood here would double the cost of the
+    whole chain)."""
+    padded = np.pad(fg, ((0, 0), (1, 1)))
+    diff = np.diff(padded.astype(np.int8), axis=1)
+    srow, scol = np.nonzero(diff == 1)
+    _erow, ecol = np.nonzero(diff == -1)
+    return srow, scol, ecol
+
+
+def _label_runs(srow: np.ndarray, scol: np.ndarray, ecol: np.ndarray) -> np.ndarray:
+    """8-connected union-find over row runs → component id per run."""
+    n = len(srow)
+    parent = list(range(n))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    # group run indices by row (runs are row-major ordered)
+    row_starts: dict[int, tuple[int, int]] = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and srow[j] == srow[i]:
+            j += 1
+        row_starts[int(srow[i])] = (i, j)
+        i = j
+    # two-pointer link with the previous row: runs [s2, e2) and [s1, e1)
+    # (end-exclusive) touch 8-connectedly iff s1 <= e2 and s2 <= e1
+    for r, (i0, i1) in row_starts.items():
+        prev = row_starts.get(r - 1)
+        if prev is None:
+            continue
+        p0, p1 = prev
+        p = p0
+        for c in range(i0, i1):
+            while p < p1 and ecol[p] < scol[c]:  # entirely left of c
+                p += 1
+            q = p
+            while q < p1 and scol[q] <= ecol[c]:
+                ra, rb = find(c), find(q)
+                if ra != rb:
+                    parent[ra] = rb
+                q += 1
+    roots = np.fromiter((find(k) for k in range(n)), dtype=np.int64, count=n)
+    return roots
+
+
 def find_external_contours(mask: np.ndarray) -> list[np.ndarray]:
     """External boundary of every 8-connected foreground component, each
-    as (n, 2) [x, y] float64 (cv2.findContours RETR_EXTERNAL analog)."""
+    as (n, 2) [x, y] float64 (cv2.findContours RETR_EXTERNAL analog).
+    Components come from run-based union-find labeling (O(runs), not
+    O(pixels)); each component is traced once from its topmost-leftmost
+    pixel."""
     fg = mask > 0
-    h, w = mask.shape
-    labeled = np.zeros((h, w), dtype=bool)  # pixels already claimed
+    srow, scol, ecol = _row_runs(fg)
+    if len(srow) == 0:
+        return []
+    roots = _label_runs(srow, scol, ecol)
     contours = []
-    ys, xs = np.nonzero(fg)
-    for y, x in zip(ys.tolist(), xs.tolist()):  # row-major = top-left first
-        if labeled[y, x]:
+    seen: set[int] = set()
+    for i in range(len(srow)):  # row-major → first run is topmost-leftmost
+        root = int(roots[i])
+        if root in seen:
             continue
-        contour = _trace_boundary(fg, (y, x))
-        contours.append(contour)
-        # claim the whole component via frontier flood (binary, vector)
-        comp = np.zeros((h, w), dtype=bool)
-        comp[y, x] = True
-        frontier = np.array([y * w + x], dtype=np.int64)
-        flat_fg = fg.reshape(-1)
-        flat_comp = comp.reshape(-1)
-        while frontier.size:
-            fy, fx = np.divmod(frontier, w)
-            ny = fy[:, None] + _DIRS[None, :, 0]
-            nx = fx[:, None] + _DIRS[None, :, 1]
-            inb = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
-            cand = np.unique((ny * w + nx).ravel()[inb.ravel()])
-            cand = cand[flat_fg[cand] & ~flat_comp[cand]]
-            flat_comp[cand] = True
-            frontier = cand
-        labeled |= comp
+        seen.add(root)
+        contours.append(_trace_boundary(fg, (int(srow[i]), int(scol[i]))))
     return contours
 
 

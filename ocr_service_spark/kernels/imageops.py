@@ -169,16 +169,20 @@ def adaptive_threshold_gaussian(
     Matches cv2's structure — the local mean is rounded to uint8 before
     the integer comparison; the separable convolution runs in float64
     (cv2 uses fixed point — documented determinism tradeoff)."""
-    k = _gaussian_kernel1d(block)
+    # float32 separable conv: 24-bit mantissas are exact to far below the
+    # 1/2-ulp of the uint8 rounding for 8-bit pixel sums at these kernel
+    # widths, and the halved memory traffic matters — this runs on every
+    # warped frame (≈3 MPx at the warp's 1.5× upscale)
+    k = _gaussian_kernel1d(block).astype(np.float32)
     r = block // 2
-    p = np.pad(img.astype(np.float64), r, mode="edge")  # BORDER_REPLICATE
-    rows = np.zeros((p.shape[0], img.shape[1]), dtype=np.float64)
-    for i in range(block):
+    p = np.pad(img.astype(np.float32), r, mode="edge")  # BORDER_REPLICATE
+    rows = k[0] * p[:, 0 : img.shape[1]]
+    for i in range(1, block):
         rows += k[i] * p[:, i : i + img.shape[1]]
-    mean = np.zeros(img.shape, dtype=np.float64)
-    for i in range(block):
+    mean = k[0] * rows[0 : img.shape[0], :]
+    for i in range(1, block):
         mean += k[i] * rows[i : i + img.shape[0], :]
-    mean_u8 = np.clip(np.rint(mean), 0, 255).astype(np.int16)
+    mean_u8 = np.clip(np.rint(mean, out=mean), 0, 255).astype(np.int16)
     return (
         (img.astype(np.int16) > mean_u8 - np.int16(round(c))) * np.uint8(255)
     ).astype(np.uint8)
@@ -190,8 +194,10 @@ def _morph2x2(mask: np.ndarray, op: str) -> np.ndarray:
     (-inf for dilate, +inf for erode → pad 0 / 255)."""
     pad_val = 0 if op == "dilate" else 255
     p = np.pad(mask, ((0, 1), (0, 1)), mode="constant", constant_values=pad_val)
-    win = np.stack([p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]])
-    return win.max(axis=0) if op == "dilate" else win.min(axis=0)
+    fn = np.maximum if op == "dilate" else np.minimum
+    out = fn(p[:-1, :-1], p[:-1, 1:])
+    out = fn(out, p[1:, :-1], out=out)
+    return fn(out, p[1:, 1:], out=out)
 
 
 def morph_close_2x2(mask: np.ndarray) -> np.ndarray:
