@@ -45,6 +45,9 @@ HEADLINE = [
     "ann_ivf_probe",
     "sessionization",
     "event_props_json",
+    "asof_last_order",
+    "order_priority_cube",
+    "user_set_ops",
 ]
 
 # synthetic extraction corpus size per sf of the driver tables

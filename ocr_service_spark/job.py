@@ -32,6 +32,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--confidence-low", type=float, default=None)
     ap.add_argument("--accepted-qr-formats", default=None, help="CSV, e.g. fiscal,url")
+    ap.add_argument("--aggressive", action="store_true", help="aggressive binarization profile")
+    ap.add_argument(
+        "--catalog",
+        default=None,
+        metavar="WAREHOUSE",
+        help="run through an Iceberg hadoop catalog rooted here "
+        "(requires the iceberg-spark runtime on the classpath)",
+    )
     args = ap.parse_args(argv)
 
     kwargs = {}
@@ -39,12 +47,31 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["confidence_low"] = args.confidence_low
     if args.accepted_qr_formats:
         kwargs["accepted_qr_formats"] = tuple(args.accepted_qr_formats.split(","))
+    if args.aggressive:
+        kwargs["aggressive"] = True
     cfg = ExtractConfig(run_id=args.run_id or f"run-{int(time.time())}", **kwargs)
 
-    spark = get_spark(app_name="ocr-extract", master=args.master)
+    extra_conf = None
+    if args.catalog:
+        from .pipeline.iceberg import iceberg_confs
+
+        extra_conf = iceberg_confs(args.catalog)
+    spark = get_spark(app_name="ocr-extract", master=args.master, extra_conf=extra_conf)
+    if args.catalog:
+        from .pipeline.iceberg import require_iceberg
+
+        require_iceberg(spark)  # fail fast with a clear message
     t0 = time.time()
     docs, media = load_inputs(spark, args.data_dir)
-    stats = run_resumable(spark, docs, media, args.out_dir, cfg, n_buckets=args.n_buckets)
+    stats = run_resumable(
+        spark,
+        docs,
+        media,
+        args.out_dir,
+        cfg,
+        n_buckets=args.n_buckets,
+        use_iceberg=bool(args.catalog),
+    )
     wall = time.time() - t0
     summary = {
         "run_id": cfg.run_id,

@@ -121,34 +121,44 @@ def warp_perspective(img: np.ndarray, corners: np.ndarray) -> np.ndarray:
     w, h = warp_size(corners)
     dst = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], np.float64)
     m = perspective_transform(dst, corners).astype(np.float32)  # dst → src
+    ih, iw = img.shape
+    out = np.empty((h, w), dtype=img.dtype)
     # homogeneous coords are affine in (x, y): broadcast a row vector
     # against a column vector instead of materializing meshgrid + stack +
-    # einsum temporaries (those cost ~1.5 GB of traffic per large frame)
+    # einsum temporaries. ROW-TILED so the coordinate buffers stay
+    # L2-resident (full-frame f32 sx/sy/den cost ~25 MB of DRAM traffic
+    # per receipt-photo frame — measured in the 32-worker scaling cliff).
     xs = np.arange(w, dtype=np.float32)[None, :]
-    ys = np.arange(h, dtype=np.float32)[:, None]
-    den = m[2, 0] * xs + (m[2, 1] * ys + m[2, 2])
-    sx = (m[0, 0] * xs + (m[0, 1] * ys + m[0, 2])) / den
-    sy = (m[1, 0] * xs + (m[1, 1] * ys + m[1, 2])) / den
-    ih, iw = img.shape
-    # NaN/inf guard: a near-degenerate quad puts the horizon line (den≈0)
-    # inside the frame; clip handles ±inf but NaN would survive into the
-    # int cast as INT_MIN
-    np.nan_to_num(sx, copy=False, nan=0.0)
-    np.nan_to_num(sy, copy=False, nan=0.0)
-    sxi = np.clip(np.rint(sx, out=sx), 0, iw - 1).astype(np.int32)  # border replicate
-    syi = np.clip(np.rint(sy, out=sy), 0, ih - 1).astype(np.int32)
-    return img[syi, sxi]
+    tile = max(32, (1 << 20) // (4 * w))
+    for r0 in range(0, h, tile):
+        r1 = min(r0 + tile, h)
+        ys = np.arange(r0, r1, dtype=np.float32)[:, None]
+        den = m[2, 0] * xs + (m[2, 1] * ys + m[2, 2])
+        sx = (m[0, 0] * xs + (m[0, 1] * ys + m[0, 2])) / den
+        sy = (m[1, 0] * xs + (m[1, 1] * ys + m[1, 2])) / den
+        # NaN/inf guard: a near-degenerate quad puts the horizon line
+        # (den≈0) inside the frame; clip handles ±inf but NaN would
+        # survive into the int cast as INT_MIN
+        np.nan_to_num(sx, copy=False, nan=0.0)
+        np.nan_to_num(sy, copy=False, nan=0.0)
+        sxi = np.clip(np.rint(sx, out=sx), 0, iw - 1).astype(np.int32)
+        syi = np.clip(np.rint(sy, out=sy), 0, ih - 1).astype(np.int32)
+        out[r0:r1] = img[syi, sxi]  # border replicate via the clip
+    return out
 
 
 def gaussian_blur3(img: np.ndarray) -> np.ndarray:
     """3×3 Gaussian blur (common.py:101). cv2 with sigma=0 and ksize 3
     uses the fixed binomial kernel [1,2,1]/4; separable integer
     arithmetic with round-half-up and reflect-101 borders matches it."""
-    k = np.array([1, 2, 1], dtype=np.int32)
-    p = np.pad(img.astype(np.int32), 1, mode="reflect")
-    rows = sum(k[i] * p[:, i : i + img.shape[1]] for i in range(3))
-    both = sum(k[i] * rows[i : i + img.shape[0], :] for i in range(3))
-    return ((both + 8) >> 4).astype(np.uint8)
+    # uint16 arithmetic: max accumulator value is 255·16 = 4080, and the
+    # halved temporary traffic matters at 32 concurrent workers
+    h, w = img.shape
+    p = np.pad(img, 1, mode="reflect").astype(np.uint16)
+    rows = p[:, 0:w] + 2 * p[:, 1 : w + 1] + p[:, 2 : w + 2]
+    both = rows[0:h, :] + 2 * rows[1 : h + 1, :] + rows[2 : h + 2, :]
+    both += 8
+    return (both >> 4).astype(np.uint8)
 
 
 def _gaussian_kernel1d(ksize: int) -> np.ndarray:
@@ -169,23 +179,43 @@ def adaptive_threshold_gaussian(
     Matches cv2's structure — the local mean is rounded to uint8 before
     the integer comparison; the separable convolution runs in float64
     (cv2 uses fixed point — documented determinism tradeoff)."""
-    # float32 separable conv: 24-bit mantissas are exact to far below the
-    # 1/2-ulp of the uint8 rounding for 8-bit pixel sums at these kernel
-    # widths, and the halved memory traffic matters — this runs on every
-    # warped frame (≈3 MPx at the warp's 1.5× upscale)
+    # float32 separable conv, ROW-TILED so the working set stays in each
+    # core's private L2 (same device as neural._conv3): a full-frame
+    # separable pass streams ~240 B/px of DRAM traffic per warped frame
+    # (≈3 MPx at the warp's 1.5× upscale) and saturates memory bandwidth
+    # under 32 concurrent workers — measured as the 16→32 scaling
+    # cliff. Tiling re-computes the halo rows (~1.2× arithmetic) but
+    # cuts traffic to ~read-once/write-once. float32 is exact to far
+    # below the 1/2-ulp of the uint8 rounding for 8-bit pixel sums.
     k = _gaussian_kernel1d(block).astype(np.float32)
     r = block // 2
-    p = np.pad(img.astype(np.float32), r, mode="edge")  # BORDER_REPLICATE
-    rows = k[0] * p[:, 0 : img.shape[1]]
-    for i in range(1, block):
-        rows += k[i] * p[:, i : i + img.shape[1]]
-    mean = k[0] * rows[0 : img.shape[0], :]
-    for i in range(1, block):
-        mean += k[i] * rows[i : i + img.shape[0], :]
-    mean_u8 = np.clip(np.rint(mean, out=mean), 0, 255).astype(np.int16)
-    return (
-        (img.astype(np.int16) > mean_u8 - np.int16(round(c))) * np.uint8(255)
-    ).astype(np.uint8)
+    h, w = img.shape
+    p = np.pad(img, r, mode="edge")  # BORDER_REPLICATE, uint8 (1 B/px)
+    out = np.empty((h, w), dtype=np.uint8)
+    src = np.int16(round(c))
+    tile = max(32, (1 << 20) // (4 * (w + 2 * r)))  # ~1 MiB of f32 rows
+    rows_buf = np.empty((tile + 2 * r, w), dtype=np.float32)
+    for r0 in range(0, h, tile):
+        r1 = min(r0 + tile, h)
+        nr = r1 - r0
+        # row pass over the tile + halo (input rows r0 .. r1+2r of p)
+        pr = p[r0 : r1 + 2 * r].astype(np.float32)
+        buf = rows_buf[: nr + 2 * r]
+        np.multiply(pr[:, 0:w], k[0], out=buf)
+        for i in range(1, block):
+            buf += k[i] * pr[:, i : i + w]
+        # column pass into the output tile
+        mean = k[0] * buf[0:nr]
+        for i in range(1, block):
+            mean += k[i] * buf[i : i + nr]
+        mean_u8 = np.clip(np.rint(mean, out=mean), 0, 255).astype(np.int16)
+        np.multiply(
+            img[r0:r1].astype(np.int16) > mean_u8 - src,
+            np.uint8(255),
+            out=out[r0:r1],
+            casting="unsafe",
+        )
+    return out
 
 
 def _morph2x2(mask: np.ndarray, op: str) -> np.ndarray:

@@ -328,6 +328,136 @@ GROUP BY doc_id
 """
 
 
+# --- as-of join (temporal: latest order at-or-before each event) -------------
+# Spark lacks a native AS-OF join; the scalable re-expression is the
+# union-sort-window shape: tag both streams, union on (key, time), one
+# window pass carrying the last order forward. One shuffle on the key,
+# no per-key explosion, no range cross-join — the layout that holds at
+# 100 TB (a broadcast-range or per-key collect variant would not).
+def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event: the most recent order (o_orderdate <= ts) of
+    customer user_id; ties on date broken by highest o_orderkey.
+    Returns a per-user aggregate so the result is compact."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),  # orders sort before events at equal time
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("key")
+        .orderBy("t", "kind", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    joined = (
+        orders.unionByName(events)
+        .select(
+            "key",
+            "kind",
+            "event_id",
+            F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+            F.last("o_totalprice", ignorenulls=True).over(w).alias("last_price"),
+        )
+        .filter(F.col("kind") == 1)
+    )
+    return joined.groupBy(F.col("key").alias("user_id")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("last_orderkey").isNotNull(), 1).otherwise(0)).alias(
+            "n_matched"
+        ),
+        F.max("last_orderkey").alias("max_last_orderkey"),
+        F.round(F.sum("last_price"), 2).alias("sum_last_price"),
+    )
+
+
+_ORACLE_ASOF = """
+WITH matched AS (
+  SELECT e.user_id, e.event_id,
+         (SELECT o.o_orderkey FROM orders o
+           WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey,
+         (SELECT o.o_totalprice FROM orders o
+           WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_price
+  FROM events e
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN last_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       max(last_orderkey) AS max_last_orderkey,
+       round(sum(last_price), 2) AS sum_last_price
+FROM matched
+GROUP BY user_id
+"""
+
+
+# --- grouping sets: CUBE over (status, priority) ------------------------------
+def q_order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all four grouping combinations in one
+    pass (partial-aggregable — Spark expands to grouping sets with
+    map-side combine, no extra scans)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),  # must live inside the agg
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+_ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- set operations: INTERSECT / EXCEPT ---------------------------------------
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who clicked ∩ purchased, clicked ∖ purchased, purchased ∖
+    clicked — distinct-set semantics (both sides dedup on the shuffle
+    key, so each leg is one aggregation-sized exchange)."""
+    ev = load(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    n_both = clickers.intersect(buyers).agg(F.count("*").alias("n_both"))
+    n_click = clickers.subtract(buyers).agg(F.count("*").alias("n_click_only"))
+    n_buy = buyers.subtract(clickers).agg(F.count("*").alias("n_buy_only"))
+    return n_both.crossJoin(n_click).crossJoin(n_buy)
+
+
+_ORACLE_SETOPS = """
+SELECT (SELECT count(*) FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase')) AS n_both,
+       (SELECT count(*) FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'purchase')) AS n_click_only,
+       (SELECT count(*) FROM (
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'click')) AS n_buy_only
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_order_stats": q_segment_order_stats,
@@ -340,6 +470,9 @@ QUERIES = {
     "running_quantity": q_running_quantity,
     "qr_format_classify": q_qr_format_classify,
     "span_explode_reassemble": q_span_explode_reassemble,
+    "asof_last_order": q_asof_last_order,
+    "order_priority_cube": q_order_priority_cube,
+    "user_set_ops": q_user_set_ops,
 }
 
 ORACLES = {
@@ -354,4 +487,7 @@ ORACLES = {
     "running_quantity": _ORACLE_RUNNING,
     "qr_format_classify": _ORACLE_QR,
     "span_explode_reassemble": _ORACLE_REASSEMBLE,
+    "asof_last_order": _ORACLE_ASOF,
+    "order_priority_cube": _ORACLE_CUBE,
+    "user_set_ops": _ORACLE_SETOPS,
 }

@@ -49,8 +49,15 @@ def run_resumable(
     out_dir: str,
     cfg: ExtractConfig | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
+    use_iceberg: bool = False,
 ) -> dict:
     """Run extraction for all not-yet-completed buckets.
+
+    With ``use_iceberg`` the results sink is an Iceberg table append
+    (bucket-partitioned) and the checkpoint a real MERGE INTO upsert
+    (pipeline/iceberg.py) instead of the parquet dynamic-partition-
+    overwrite + append-lineage emulation; requires the iceberg-spark
+    runtime on the classpath (job.py --catalog).
 
     Returns {"processed_docs": n, "processed_buckets": k}.
     """
@@ -58,8 +65,13 @@ def run_resumable(
     out_path = f"{out_dir}/extracted"
     ckpt_path = f"{out_dir}/_checkpoint"
 
+    if use_iceberg:
+        from . import iceberg
+
+        done = iceberg.completed_buckets(spark)
+    else:
+        done = read_completed_buckets(spark, ckpt_path)
     docs_b = docs.withColumn("bucket", bucket_expr(n_buckets))
-    done = read_completed_buckets(spark, ckpt_path)
     todo = docs_b.join(done, "bucket", "left_anti") if done is not None else docs_b
 
     if todo.limit(1).isEmpty():
@@ -68,11 +80,18 @@ def run_resumable(
     output, _metrics = run_extract(spark, todo, media, cfg)
     output_b = output.withColumn("bucket", bucket_expr(n_buckets))
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    output_b.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    if use_iceberg:
+        from . import iceberg
 
-    # lineage rows AFTER the data is durably written (crash-safe ordering)
-    written = spark.read.parquet(out_path).withColumn("bucket", bucket_expr(n_buckets))
+        iceberg.write_output(output_b)
+        written = spark.table(f"{iceberg.CATALOG}.ocr.extracted")
+    else:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        output_b.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+        # lineage rows AFTER the data is durably written (crash-safe ordering)
+        written = spark.read.parquet(out_path).withColumn(
+            "bucket", bucket_expr(n_buckets)
+        )
     if done is not None:
         written = written.join(done, "bucket", "left_anti")
     ocr_chars = F.aggregate(
@@ -102,7 +121,12 @@ def run_resumable(
             F.current_timestamp().alias("completed_at"),
         )
     )
-    lineage.write.mode("append").parquet(ckpt_path)
+    if use_iceberg:
+        from . import iceberg
+
+        iceberg.merge_checkpoint(lineage)
+    else:
+        lineage.write.mode("append").parquet(ckpt_path)
 
     stats = todo.agg(
         F.count("*").alias("d"), F.countDistinct("bucket").alias("b")

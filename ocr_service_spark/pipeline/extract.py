@@ -19,6 +19,7 @@ count (SURVEY.md §7 hard part (b)).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Iterator
 
@@ -290,14 +291,91 @@ def _is_bare_scan(media: DataFrame) -> bool:
         return False
 
 
+SPLIT_MANIFEST_NAME = "_split_manifest.parquet"
+_FOOTER_READ_THREADS = 16
+
+
+def write_split_manifest(table_path: str) -> str:
+    """Write the split manifest for a parquet table path (file or dir):
+    one row per (file, row_group) with exact byte/row stats — the
+    parquet-side analog of Iceberg's manifest files, read in O(1) driver
+    work by `_direct_read_splits`. Called by datagen after writing the
+    media table; any externally-produced table gets the same benefit by
+    running this once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = _parquet_files_under(table_path)
+    rows = {"file": [], "row_group": [], "bytes": [], "rows": []}
+    for path in files:
+        meta = pq.ParquetFile(path).metadata
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            rows["file"].append(os.path.basename(path))
+            rows["row_group"].append(rg)
+            rows["bytes"].append(g.total_byte_size)
+            rows["rows"].append(g.num_rows)
+    base = table_path if os.path.isdir(table_path) else os.path.dirname(table_path)
+    out = os.path.join(base, SPLIT_MANIFEST_NAME)
+    pq.write_table(pa.table(rows), out)
+    return out
+
+
+def _parquet_files_under(table_path: str) -> list[str]:
+    if os.path.isdir(table_path):
+        return sorted(
+            os.path.join(table_path, f)
+            for f in os.listdir(table_path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+    return [table_path]
+
+
+def _splits_from_manifest(files: list[str]) -> list[tuple[str, int, int, int]] | None:
+    """Load (path, row_group, bytes, rows) from the sibling split
+    manifest when one covers every input file; None otherwise."""
+    import pyarrow.parquet as pq
+
+    by_dir: dict[str, list[str]] = {}
+    for path in files:
+        by_dir.setdefault(os.path.dirname(path), []).append(path)
+    splits: list[tuple[str, int, int, int]] = []
+    for d, paths in by_dir.items():
+        man = os.path.join(d, SPLIT_MANIFEST_NAME)
+        if not os.path.exists(man):
+            return None
+        tbl = pq.read_table(man)
+        # regroup per file name
+        per_file: dict[str, list[tuple[int, int, int]]] = {}
+        for name, rg, b, r in zip(
+            tbl.column("file").to_pylist(),
+            tbl.column("row_group").to_pylist(),
+            tbl.column("bytes").to_pylist(),
+            tbl.column("rows").to_pylist(),
+        ):
+            per_file.setdefault(name, []).append((rg, b, r))
+        for path in paths:
+            entries = per_file.get(os.path.basename(path))
+            if not entries:
+                return None  # manifest stale for this file → footer path
+            for rg, b, r in entries:
+                splits.append((path, rg, b, r))
+    return splits or None
+
+
 def _direct_read_splits(media: DataFrame) -> list[tuple[str, int, int, int]] | None:
     """(path, row_group, bytes, rows) splits for a file-backed media
     DataFrame, or None when the frame is not a bare untransformed file
-    scan (_is_bare_scan). Parquet footers give exact per-row-group byte
-    and row counts — the decode-cost estimate comes from table
-    statistics, no data scan needed. (At 10^12-doc scale this listing
-    comes from the Iceberg manifests instead of a driver loop; same
-    split tuples either way.)"""
+    scan (_is_bare_scan). Split stats come from, in order of preference:
+
+    1. the sibling split manifest (`write_split_manifest`) — O(1) driver
+       reads, the parquet-side analog of planning from Iceberg
+       manifests; with an Iceberg catalog (iceberg.py) the same tuples
+       come from the table's own manifest files;
+    2. parquet footers read on a thread pool (metadata-only,
+       GIL-released pyarrow C++) — bounded wall even at thousands of
+       files, vs the serial loop that stalls a 10^12-doc listing.
+    """
     if not _is_bare_scan(media):
         return None
     try:
@@ -306,17 +384,32 @@ def _direct_read_splits(media: DataFrame) -> list[tuple[str, int, int, int]] | N
         return None
     if not files:
         return None
-    import pyarrow.parquet as pq
-
-    splits: list[tuple[str, int, int, int]] = []
+    paths = []
     for uri in files:
         path = uri[7:] if uri.startswith("file://") else uri
         if not path.endswith(".parquet"):
             return None
+        paths.append(path)
+
+    manifest_splits = _splits_from_manifest(paths)
+    if manifest_splits is not None:
+        return manifest_splits
+
+    import concurrent.futures as cf
+
+    import pyarrow.parquet as pq
+
+    def footer(path: str) -> list[tuple[str, int, int, int]]:
         meta = pq.ParquetFile(path).metadata
-        for rg in range(meta.num_row_groups):
-            g = meta.row_group(rg)
-            splits.append((path, rg, g.total_byte_size, g.num_rows))
+        return [
+            (path, rg, meta.row_group(rg).total_byte_size, meta.row_group(rg).num_rows)
+            for rg in range(meta.num_row_groups)
+        ]
+
+    splits: list[tuple[str, int, int, int]] = []
+    with cf.ThreadPoolExecutor(max_workers=_FOOTER_READ_THREADS) as ex:
+        for part in ex.map(footer, paths):
+            splits.extend(part)
     return splits or None
 
 

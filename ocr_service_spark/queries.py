@@ -83,6 +83,22 @@ def audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synthetic_audio(spark))
 
 
+def structured_receipts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 structuring over the documents table (rows-only: the production
+    structurer is an external LLM call; offline the deterministic
+    heuristic parser produces the same schema)."""
+    from pyspark.sql import functions as F
+
+    from .kernels.structuring import structure_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_order"),
+        "text",
+    )
+    return structure_spans(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (relational, textstats, dedup, similarity, streaming):
@@ -92,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_thumbnails"] = media_thumbnail_query
     out["video_frame_sample"] = video_frame_sample_query
     out["audio_features"] = audio_features_query
+    out["structured_receipts"] = structured_receipts_query
     return out
 
 

@@ -41,4 +41,5 @@ def test_registry_consistency():
         "media_thumbnails",
         "video_frame_sample",
         "audio_features",
+        "structured_receipts",
     }
