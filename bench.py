@@ -68,6 +68,15 @@ def main() -> int:
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.range(1000).count()  # JVM warmup
+    # python-worker warmup: fork + pandas/pyarrow import happens once per
+    # worker per session (~3.5 s across 32 workers, measured); production
+    # runtime is steady-state, so pay it outside the timed sections —
+    # same protocol as tools/bench_scaling.py's warmup pass
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    # parquet datasource init (codegen + filesystem touch)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     qs = registry.queries()
     timings: dict[str, float] = {}
