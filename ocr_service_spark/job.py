@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
         help="run through an Iceberg hadoop catalog rooted here "
         "(requires the iceberg-spark runtime on the classpath)",
     )
+    ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="run under Structured Streaming (readStream -> foreachBatch "
+        "-> exactly-once bucketed file sink) instead of the batch path",
+    )
     args = ap.parse_args(argv)
 
     kwargs = {}
@@ -62,19 +68,29 @@ def main(argv: list[str] | None = None) -> int:
 
         require_iceberg(spark)  # fail fast with a clear message
     t0 = time.time()
-    docs, media = load_inputs(spark, args.data_dir)
-    stats = run_resumable(
-        spark,
-        docs,
-        media,
-        args.out_dir,
-        cfg,
-        n_buckets=args.n_buckets,
-        use_iceberg=bool(args.catalog),
-    )
+    if args.stream:
+        from .pipeline.streaming import extract_stream_to_files, read_stream_output
+
+        extract_stream_to_files(
+            spark, args.data_dir, args.out_dir, cfg, n_buckets=args.n_buckets
+        )
+        n = read_stream_output(spark, args.out_dir).count()
+        stats = {"processed_docs": n, "processed_buckets": args.n_buckets}
+    else:
+        docs, media = load_inputs(spark, args.data_dir)
+        stats = run_resumable(
+            spark,
+            docs,
+            media,
+            args.out_dir,
+            cfg,
+            n_buckets=args.n_buckets,
+            use_iceberg=bool(args.catalog),
+        )
     wall = time.time() - t0
     summary = {
         "run_id": cfg.run_id,
+        "mode": "stream" if args.stream else "batch",
         "processed_docs": stats["processed_docs"],
         "processed_buckets": stats["processed_buckets"],
         "wall_sec": round(wall, 3),

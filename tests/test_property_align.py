@@ -1,0 +1,107 @@
+"""Property-based fuzzing of the classic alignment kernels (hypothesis):
+the vectorized flood fill must agree with the verbatim reference BFS on
+ARBITRARY images, morphology must satisfy algebraic laws, and the
+rotating-calipers minAreaRect must enclose its points and beat no
+axis-aligned rotation candidate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as hst
+
+from ocr_service_spark.kernels import align
+
+
+def _image(draw, max_side=48):
+    h = draw(hst.integers(16, max_side))
+    w = draw(hst.integers(16, max_side))
+    seed = draw(hst.integers(0, 2**31 - 1))
+    style = draw(hst.sampled_from(["noise", "gradient", "blocks"]))
+    rng = np.random.default_rng(seed)
+    if style == "noise":
+        sigma = draw(hst.sampled_from([5, 20, 45]))
+        img = rng.normal(140, sigma, (h, w))
+    elif style == "gradient":
+        img = np.linspace(60, 220, w)[None, :] * np.ones((h, 1)) + rng.normal(
+            0, 15, (h, w)
+        )
+    else:
+        img = rng.normal(60, 10, (h, w))
+        block = img[h // 4 : 3 * h // 4, w // 4 : 3 * w // 4]
+        block[:] = rng.normal(200, 8, block.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@hst.composite
+def image_strategy(draw):
+    return _image(draw)
+
+
+@settings(max_examples=25, deadline=None)
+@given(image_strategy())
+def test_flood_fill_always_matches_reference(img):
+    seed = align.find_best_seed_point(img)
+    np.testing.assert_array_equal(
+        align.flood_fill(img, seed), align.flood_fill_reference(img, seed)
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(image_strategy(), hst.sampled_from([3, 5]))
+def test_morphology_laws(img, k):
+    mask = (img > 128).astype(np.uint8) * 255
+    opened = align.binary_open(mask, k)
+    closed = align.binary_close(mask, k)
+    # anti-extensivity / extensivity
+    assert not np.any(opened > mask)
+    assert not np.any(closed < mask)
+    # idempotence
+    np.testing.assert_array_equal(align.binary_open(opened, k), opened)
+    np.testing.assert_array_equal(align.binary_close(closed, k), closed)
+
+
+@settings(max_examples=25, deadline=None)
+@given(hst.lists(hst.tuples(hst.floats(-100, 100), hst.floats(-100, 100)),
+                 min_size=3, max_size=24))
+def test_min_area_rect_encloses_and_is_minimal(pts):
+    pts = np.array(pts, np.float64)
+    box = align.min_area_rect_points(pts)
+
+    def rect_area_at(theta):
+        u = np.array([np.cos(theta), np.sin(theta)])
+        v = np.array([-u[1], u[0]])
+        xs, ys = pts @ u, pts @ v
+        return (xs.max() - xs.min()) * (ys.max() - ys.min())
+
+    u = box[1] - box[0]
+    ln = np.hypot(*u)
+    area_box = ln * np.hypot(*(box[3] - box[0]))
+    # encloses every point (within fp tolerance): project onto box frame
+    if ln > 1e-9:
+        u /= ln
+        v = np.array([-u[1], u[0]])
+        xs, ys = pts @ u, pts @ v
+        bx, by = box @ u, box @ v
+        assert xs.min() >= bx.min() - 1e-6 and xs.max() <= bx.max() + 1e-6
+        assert ys.min() >= by.min() - 1e-6 and ys.max() <= by.max() + 1e-6
+    # no sampled rotation does better (calipers optimum aligns with hull
+    # edges; sampled grid can only be worse or equal)
+    for theta in np.linspace(0, np.pi / 2, 19):
+        assert area_box <= rect_area_at(theta) + 1e-6
+
+
+@settings(max_examples=15, deadline=None)
+@given(image_strategy())
+def test_classic_chain_deterministic_and_in_bounds(img):
+    try:
+        corners = align.classic_align_corners(img)
+    except ValueError:
+        return  # empty-contour path: P14 fallback territory, allowed
+    np.testing.assert_array_equal(corners, align.classic_align_corners(img))
+    h, w = img.shape
+    # minAreaRect corners may overhang the frame slightly, but must stay
+    # within a half-diagonal of it
+    margin = (h + w) / 2
+    assert corners[:, 0].min() > -margin and corners[:, 0].max() < w + margin
+    assert corners[:, 1].min() > -margin and corners[:, 1].max() < h + margin
