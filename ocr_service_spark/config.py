@@ -78,6 +78,9 @@ class ExtractConfig:
     accepted_qr_formats: tuple[str, ...] | None = None  # None → accept all
     # binarization profile (AlignmentConfig.aggressive, models/config.py:11-16)
     aggressive: bool = False
+    # warp resampling: 'nearest' (fast default, documented tradeoff) or
+    # 'cubic' (the reference's INTER_CUBIC, Keys a=-0.75)
+    warp_interp: str = "nearest"
     # per-image soft deadline (Q9): reference bounds every engine call at
     # 30 s (config/index.ts:24, asyncio.wait_for at aligner.py:173-180)
     kernel_timeout_s: float = KERNEL_TIMEOUT_S

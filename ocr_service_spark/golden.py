@@ -43,6 +43,7 @@ def extract_document(
                 cfg.accepted_qr_formats,
                 aggressive=cfg.aggressive,
                 timeout_s=cfg.kernel_timeout_s,
+                warp_interp=cfg.warp_interp,
             )
             out.append(
                 {

@@ -34,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--accepted-qr-formats", default=None, help="CSV, e.g. fiscal,url")
     ap.add_argument("--aggressive", action="store_true", help="aggressive binarization profile")
     ap.add_argument(
+        "--warp-interp",
+        choices=("nearest", "cubic"),
+        default="nearest",
+        help="warp resampling: nearest (fast default) or cubic (the "
+        "reference's INTER_CUBIC)",
+    )
+    ap.add_argument(
         "--catalog",
         default=None,
         metavar="WAREHOUSE",
@@ -55,6 +62,8 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["accepted_qr_formats"] = tuple(args.accepted_qr_formats.split(","))
     if args.aggressive:
         kwargs["aggressive"] = True
+    if args.warp_interp != "nearest":
+        kwargs["warp_interp"] = args.warp_interp
     cfg = ExtractConfig(run_id=args.run_id or f"run-{int(time.time())}", **kwargs)
 
     extra_conf = None

@@ -456,6 +456,7 @@ def extract_media_span(
     recognizer: StubRecognizer | None = None,
     aggressive: bool = False,
     timeout_s: float | None = KERNEL_TIMEOUT_S,
+    warp_interp: str = "nearest",
 ) -> dict:
     """Full single-image extraction: validate → decode → align → binarize →
     QR short-circuit → OCR cascade. Pure function of the blob bytes.
@@ -509,7 +510,9 @@ def extract_media_span(
     try:
         nc = neural.detect_corners(img)
         if nc is not None:
-            warped = imageops.warp_perspective(img, imageops.order_corners(nc))
+            warped = imageops.warp_perspective(
+                img, imageops.order_corners(nc), warp_interp
+            )
     except Exception:  # ANY neural-path failure → classic (hybrid.py:59-97)
         warped = None
     if warped is None:
@@ -529,14 +532,14 @@ def extract_media_span(
             )
             corners = align.classic_align_corners(small) * float(step)
             warped = imageops.warp_perspective(
-                img, imageops.order_corners(corners)
+                img, imageops.order_corners(corners), warp_interp
             )
         except Exception:
             # P14: the gateway's local preprocessing fallback
             # (processor.ts:139-147), in-process — bbox of the bright
             # foreground (the reference's own degenerate path).
             corners = imageops.mask_bbox_corners(img)
-            warped = imageops.warp_perspective(img, corners)
+            warped = imageops.warp_perspective(img, corners, warp_interp)
     if _timed_out():
         return {
             "status": "failed",

@@ -116,6 +116,7 @@ def _make_media_fn(cfg: ExtractConfig):
     accepted = cfg.accepted_qr_formats
     aggressive = cfg.aggressive
     timeout_s = cfg.kernel_timeout_s
+    warp_interp = cfg.warp_interp
 
     def media_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -134,6 +135,7 @@ def _make_media_fn(cfg: ExtractConfig):
                     accepted,
                     aggressive=aggressive,
                     timeout_s=timeout_s,
+                    warp_interp=warp_interp,
                 )
                 kernel_ms.append((time.perf_counter() - t0) * 1000.0)
                 kinds.append(res["kind"] if res["status"] == "completed" else "media_text")
@@ -185,6 +187,7 @@ def _make_direct_media_fn(cfg: ExtractConfig):
     accepted = cfg.accepted_qr_formats
     aggressive = cfg.aggressive
     timeout_s = cfg.kernel_timeout_s
+    warp_interp = cfg.warp_interp
 
     def media_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -222,6 +225,7 @@ def _make_direct_media_fn(cfg: ExtractConfig):
                             accepted,
                             aggressive=aggressive,
                             timeout_s=timeout_s,
+                            warp_interp=warp_interp,
                         )
                         kernel_ms.append((time.perf_counter() - t0) * 1000.0)
                         kinds.append(

@@ -131,6 +131,42 @@ def test_minmax_normalize_range():
     assert imageops.minmax_normalize(np.full((3, 3), 7, np.uint8)).max() == 0
 
 
+def test_warp_cubic_identity_at_integer_coords():
+    # at integer sample positions the Keys kernel weights are (0,1,0,0):
+    # an axis-aligned unit-scale warp reproduces the crop exactly
+    img = np.arange(100, dtype=np.uint8).reshape(10, 10) * 2
+    # corners chosen so warp_size == crop size (9/1.5=6 → dst 9x9... use
+    # a quad whose 1.5x size rounds to an integer mapping)
+    corners = np.array([[0, 0], [9, 0], [9, 9], [0, 9]], np.float64)
+    near = imageops.warp_perspective(img, corners, "nearest")
+    cub = imageops.warp_perspective(img, corners, "cubic")
+    assert near.shape == cub.shape
+    # constant image → constant output under any interpolation
+    flat = np.full((20, 20), 77, np.uint8)
+    out = imageops.warp_perspective(flat, np.array([[2, 2], [17, 2], [17, 17], [2, 17]], np.float64), "cubic")
+    assert out.min() == out.max() == 77
+
+
+def test_cubic_weights_partition_of_unity():
+    t = np.linspace(0, 1, 33, dtype=np.float32)
+    w = imageops._cubic_weights(t)
+    np.testing.assert_allclose(sum(w), np.ones_like(t), atol=1e-6)
+    # t=0 → exactly (0,1,0,0)
+    w0 = [float(x[0]) for x in w]
+    np.testing.assert_allclose(w0, [0, 1, 0, 0], atol=1e-7)
+
+
+def test_warp_cubic_preserves_linear_ramp():
+    # cubic convolution reproduces linear functions exactly (Keys
+    # property); a pure-scale warp of a horizontal ramp stays a ramp
+    ramp = np.tile(np.arange(0, 200, 2, dtype=np.uint8), (50, 1))
+    corners = np.array([[10, 10], [89, 10], [89, 39], [10, 39]], np.float64)
+    out = imageops.warp_perspective(ramp, corners, "cubic")
+    # every row identical and monotone non-decreasing
+    assert (out == out[0]).all()
+    assert (np.diff(out[0].astype(int)) >= 0).all()
+
+
 def test_mask_bbox_corners():
     img = np.zeros((50, 50), np.uint8)
     img[10:20, 5:30] = 255
