@@ -48,9 +48,19 @@ def _decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                      round(float(px.mean()), 4), int(px.size), "simg")
                 )
             else:
-                # real codecs (jpeg/png/webp) need PIL/cv2 — absent here;
-                # plumbing stays real, decode is explicitly unavailable
-                rows.append((ref, None, None, None, None, "unsupported"))
+                # real codecs (jpeg/png/webp) through the same import-
+                # gated decoder as the OCR path (PIL/cv2; absent here →
+                # explicitly unavailable, plumbing stays real)
+                try:
+                    from ..kernels.media import decode_real_image
+
+                    px = decode_real_image(b)
+                    rows.append(
+                        (ref, px.shape[1], px.shape[0],
+                         round(float(px.mean()), 4), int(px.size), "image")
+                    )
+                except Exception:
+                    rows.append((ref, None, None, None, None, "unsupported"))
         yield pd.DataFrame(
             rows,
             columns=["media_ref", "width", "height", "mean_brightness", "n_pixels", "codec"],
@@ -75,10 +85,16 @@ def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for ref, blob in zip(pdf["media_ref"], pdf["content"]):
             b = bytes(blob)
-            if not b.startswith(SIMG_MAGIC):
-                rows.append((ref, None, None, None))
-                continue
-            _, px = decode_simg(b)
+            if b.startswith(SIMG_MAGIC):
+                _, px = decode_simg(b)
+            else:
+                try:
+                    from ..kernels.media import decode_real_image
+
+                    px = decode_real_image(b)
+                except Exception:
+                    rows.append((ref, None, None, None))
+                    continue
             h, w = px.shape
             yi = np.clip((np.arange(THUMB) * h) // THUMB, 0, h - 1)
             xi = np.clip((np.arange(THUMB) * w) // THUMB, 0, w - 1)
