@@ -81,6 +81,9 @@ class ExtractConfig:
     # warp resampling: 'nearest' (fast default, documented tradeoff) or
     # 'cubic' (the reference's INTER_CUBIC, Keys a=-0.75)
     warp_interp: str = "nearest"
+    # alignment mode default (per-request alignmentMode in the reference,
+    # recognize.ts:21-28); blobs may override via meta["mode"]
+    alignment_mode: str = "neural"
     # per-image soft deadline (Q9): reference bounds every engine call at
     # 30 s (config/index.ts:24, asyncio.wait_for at aligner.py:173-180)
     kernel_timeout_s: float = KERNEL_TIMEOUT_S

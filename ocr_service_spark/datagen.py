@@ -147,8 +147,10 @@ def _make_media_blob(
             "in_warped": bool(rng.random() < 0.6),
             "in_preprocessed": bool(rng.random() < 0.9),
         }
-    if rng.random() < 0.05:
-        meta.pop("quad")  # no neural corners → classic bbox fallback path
+    if rng.random() < 0.10:
+        # per-request alignmentMode='classic' (recognize.ts:21-28) —
+        # keeps the classic P3-P8 chain exercised end-to-end
+        meta["mode"] = "classic"
     return encode_simg(meta, pixels)
 
 
@@ -253,8 +255,9 @@ def ensure_dataset(
 ) -> dict[str, str]:
     """Generate once, reuse across test sessions (content is a pure
     function of (n_docs, seed), so presence implies validity)."""
-    # v2: layout change (small row groups) — forces regeneration of v1 dirs
-    marker = os.path.join(out_dir, f".complete-v3-{n_docs}-{seed}-{media_scale}")
+    # marker version bumps force regeneration when generated content
+    # changes (v3: small row groups; v4: per-blob alignment modes)
+    marker = os.path.join(out_dir, f".complete-v4-{n_docs}-{seed}-{media_scale}")
     paths = {
         "documents": os.path.join(out_dir, "documents.parquet"),
         "media": os.path.join(out_dir, "media.parquet"),

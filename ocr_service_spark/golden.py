@@ -44,6 +44,7 @@ def extract_document(
                 aggressive=cfg.aggressive,
                 timeout_s=cfg.kernel_timeout_s,
                 warp_interp=cfg.warp_interp,
+                alignment_mode=cfg.alignment_mode,
             )
             out.append(
                 {

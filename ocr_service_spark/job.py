@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--accepted-qr-formats", default=None, help="CSV, e.g. fiscal,url")
     ap.add_argument("--aggressive", action="store_true", help="aggressive binarization profile")
     ap.add_argument(
+        "--alignment-mode",
+        choices=("neural", "classic"),
+        default="neural",
+        help="default alignment mode (per-blob meta['mode'] overrides)",
+    )
+    ap.add_argument(
         "--warp-interp",
         choices=("nearest", "cubic"),
         default="nearest",
@@ -64,6 +70,8 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["aggressive"] = True
     if args.warp_interp != "nearest":
         kwargs["warp_interp"] = args.warp_interp
+    if args.alignment_mode != "neural":
+        kwargs["alignment_mode"] = args.alignment_mode
     cfg = ExtractConfig(run_id=args.run_id or f"run-{int(time.time())}", **kwargs)
 
     extra_conf = None

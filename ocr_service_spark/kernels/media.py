@@ -457,6 +457,7 @@ def extract_media_span(
     aggressive: bool = False,
     timeout_s: float | None = KERNEL_TIMEOUT_S,
     warp_interp: str = "nearest",
+    alignment_mode: str = "neural",
 ) -> dict:
     """Full single-image extraction: validate → decode → align → binarize →
     QR short-circuit → OCR cascade. Pure function of the blob bytes.
@@ -503,18 +504,24 @@ def extract_media_span(
 
     # --- alignment (hybrid dispatch P12, reference hybrid.py:47-110) ---
     img = imageops.downscale_max_side(img)  # det_limit_side_len analog
-    # Neural corner detection first on the raw frame (default mode,
-    # recognize.ts:21-28; the neural aligner gets the unprocessed image,
-    # hybrid.py:67-70); the classic chain on any failure or decline.
+    # Alignment mode is per-request in the reference (alignmentMode,
+    # recognize.ts:21-28; hybrid.py:59-61 gates the neural try on
+    # config.mode == 'neural'): the job-level default comes from
+    # `alignment_mode`, overridable per blob via meta["mode"].
+    mode = meta.get("mode", alignment_mode) if meta else alignment_mode
+    # Neural corner detection first on the raw frame (the neural aligner
+    # gets the unprocessed image, hybrid.py:67-70); the classic chain on
+    # any failure, decline, or mode == 'classic'.
     warped = None
-    try:
-        nc = neural.detect_corners(img)
-        if nc is not None:
-            warped = imageops.warp_perspective(
-                img, imageops.order_corners(nc), warp_interp
-            )
-    except Exception:  # ANY neural-path failure → classic (hybrid.py:59-97)
-        warped = None
+    if mode == "neural":
+        try:
+            nc = neural.detect_corners(img)
+            if nc is not None:
+                warped = imageops.warp_perspective(
+                    img, imageops.order_corners(nc), warp_interp
+                )
+        except Exception:  # ANY neural failure → classic (hybrid.py:59-97)
+            warped = None
     if warped is None:
         # Classic chain P2-P8 (aligner.py:58-175): dark-invert, then
         # CLAHE → seed point → flood-fill mask → polygon → minAreaRect.

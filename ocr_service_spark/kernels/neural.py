@@ -109,19 +109,29 @@ def _forward(img01: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.moveaxis(x, 2, 0))
 
 
+PAD = 100  # black border before inference, reference neural.py:82,142-156
+
+
 def detect_corners(img: np.ndarray) -> np.ndarray | None:
     """Run the detector; return 4 (x, y) corners in source coordinates or
     None when the prediction is implausible (caller falls back to the
     classic path — the hybrid dispatch of reference hybrid.py:47-110).
 
-    Mirrors the reference flow (neural.py:82-99): letterbox to model
-    input, infer heatmaps, per-channel argmax, map back, require exactly
-    4 distinct corners spanning a plausible area.
+    Mirrors the reference flow (neural.py:82-99): pad a 100 px black
+    border (corner detection near frame edges, _add_padding), letterbox
+    to model input, infer heatmaps, per-channel argmax, map back,
+    subtract the padding, require exactly 4 distinct corners spanning a
+    plausible area. Corners may land slightly outside the frame (in the
+    border) exactly as in the reference; the warp's border-replicate
+    handles them.
     """
     ih, iw = img.shape
-    sy = max(1, ih // INPUT_SIZE)
-    sx = max(1, iw // INPUT_SIZE)
-    small = img[::sy, ::sx][:INPUT_SIZE, :INPUT_SIZE]
+    padded = np.zeros((ih + 2 * PAD, iw + 2 * PAD), dtype=img.dtype)
+    padded[PAD:-PAD, PAD:-PAD] = img
+    ph, pw = padded.shape
+    sy = max(1, ph // INPUT_SIZE)
+    sx = max(1, pw // INPUT_SIZE)
+    small = padded[::sy, ::sx][:INPUT_SIZE, :INPUT_SIZE]
     sh, sw = small.shape
     inp = np.zeros((INPUT_SIZE, INPUT_SIZE), dtype=np.float32)
     inp[:sh, :sw] = small.astype(np.float32) / np.float32(255.0)
@@ -132,8 +142,11 @@ def detect_corners(img: np.ndarray) -> np.ndarray | None:
     for ch in range(4):
         idx = int(heat[ch].argmax())
         gy, gx = divmod(idx, heat.shape[2])
-        # heatmap cell center → input px → source px
-        pts.append(((gx + 0.5) * cell * sx, (gy + 0.5) * cell * sy))
+        # heatmap cell center → input px → padded px → source px (−PAD,
+        # neural.py:86-88)
+        pts.append(
+            ((gx + 0.5) * cell * sx - PAD, (gy + 0.5) * cell * sy - PAD)
+        )
     corners = np.array(pts, dtype=np.float64)
     # plausibility gate (neural.py:94-99 analog): 4 distinct points whose
     # bbox covers a meaningful share of the frame

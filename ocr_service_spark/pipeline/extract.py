@@ -117,6 +117,7 @@ def _make_media_fn(cfg: ExtractConfig):
     aggressive = cfg.aggressive
     timeout_s = cfg.kernel_timeout_s
     warp_interp = cfg.warp_interp
+    alignment_mode = cfg.alignment_mode
 
     def media_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -136,6 +137,7 @@ def _make_media_fn(cfg: ExtractConfig):
                     aggressive=aggressive,
                     timeout_s=timeout_s,
                     warp_interp=warp_interp,
+                    alignment_mode=alignment_mode,
                 )
                 kernel_ms.append((time.perf_counter() - t0) * 1000.0)
                 kinds.append(res["kind"] if res["status"] == "completed" else "media_text")
@@ -188,6 +190,7 @@ def _make_direct_media_fn(cfg: ExtractConfig):
     aggressive = cfg.aggressive
     timeout_s = cfg.kernel_timeout_s
     warp_interp = cfg.warp_interp
+    alignment_mode = cfg.alignment_mode
 
     def media_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -226,6 +229,7 @@ def _make_direct_media_fn(cfg: ExtractConfig):
                             aggressive=aggressive,
                             timeout_s=timeout_s,
                             warp_interp=warp_interp,
+                            alignment_mode=alignment_mode,
                         )
                         kernel_ms.append((time.perf_counter() - t0) * 1000.0)
                         kinds.append(
