@@ -160,6 +160,98 @@ GROUP BY event_type
 """
 
 
+# --- watermark eviction (late data dropped, append mode) ----------------------
+
+LATE_SPLIT_TS = "2024-01-08"  # deterministic batch boundary (event week 2)
+WATERMARK = "10 minutes"
+
+
+def _staged_two_batch_stream(spark: SparkSession, sf_dir: str):
+    """Stage the events table as TWO files processed as separate
+    micro-batches (maxFilesPerTrigger=1): early events (ts < split)
+    first, the rest second. The watermark advances between batches, so
+    second-batch events older than max(first batch ts) − 10 min are LATE
+    and get dropped in append mode — deterministically, because the
+    split rule is a pure function of the data."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = table_path(sf_dir, "events")
+    batch = load(spark, sf_dir, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"stream-events-2b-{hashlib.md5(src.encode()).hexdigest()[:12]}",
+    )
+    if not os.path.exists(os.path.join(stage, "b1.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        early = batch.filter(F.col("ts") < LATE_SPLIT_TS)
+        late = batch.filter(F.col("ts") >= LATE_SPLIT_TS)
+        # single files with deterministic names; written once
+        early.coalesce(1).write.mode("overwrite").parquet(stage + "-e")
+        late.coalesce(1).write.mode("overwrite").parquet(stage + "-l")
+        import glob
+        import shutil
+
+        shutil.copyfile(glob.glob(stage + "-e/part-*.parquet")[0],
+                        os.path.join(stage, "b0.parquet"))
+        shutil.copyfile(glob.glob(stage + "-l/part-*.parquet")[0],
+                        os.path.join(stage, "b1.parquet"))
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def q_windowed_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed counts WITH watermark eviction: only windows
+    closed by the watermark are emitted, and second-batch events that
+    arrive more than 10 minutes behind the first batch's max timestamp
+    are dropped as late — real Structured Streaming late-data semantics,
+    still DuckDB-oracle-checkable because the batch split is
+    deterministic (LATE_SPLIT_TS)."""
+    stream = _staged_two_batch_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return _drain_to_df(spark, agg, "windowed_append_sink", "append")
+
+
+# Oracle: append mode emits a window only once its end <= final
+# watermark; late second-batch rows (ts < wm1) never count. wm1 = max ts
+# of batch 1 − 10 min; final watermark = max ts overall − 10 min. Windows
+# still open at the end (end > final wm) are unemitted.
+_ORACLE_WINDOWED_APPEND = f"""
+WITH wm AS (
+  SELECT max(ts) - INTERVAL '{WATERMARK}' AS wm1
+  FROM events WHERE ts < TIMESTAMP '{LATE_SPLIT_TS}'
+),
+final_wm AS (
+  SELECT max(ts) - INTERVAL '{WATERMARK}' AS wmf FROM events
+),
+kept AS (
+  SELECT e.* FROM events e, wm
+  WHERE ts < TIMESTAMP '{LATE_SPLIT_TS}' OR e.ts >= wm.wm1
+),
+agg AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type, count(*) AS n
+  FROM kept GROUP BY 1, 2
+)
+SELECT CAST(ws AS VARCHAR) AS window_start, event_type, n
+FROM agg, final_wm
+WHERE ws + INTERVAL '5 minutes' <= final_wm.wmf
+"""
+
+
 # --- custom stateful operator: applyInPandasWithState ------------------------
 
 SESSION_GAP_S = 1800
@@ -250,6 +342,7 @@ FROM s GROUP BY user_id
 
 QUERIES = {
     "windowed_event_counts": q_windowed_event_counts,
+    "windowed_counts_append": q_windowed_counts_append,
     "sessionization": q_sessionization,
     "event_props_json": q_event_props_json,
     "stateful_session_counts": q_stateful_session_counts,
@@ -257,6 +350,7 @@ QUERIES = {
 
 ORACLES = {
     "windowed_event_counts": _ORACLE_WINDOWED,
+    "windowed_counts_append": _ORACLE_WINDOWED_APPEND,
     "sessionization": _ORACLE_SESSIONS,
     "event_props_json": _ORACLE_PROPS,
     "stateful_session_counts": _ORACLE_STATEFUL,
