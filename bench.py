@@ -48,6 +48,11 @@ HEADLINE = [
     "asof_last_order",
     "order_priority_cube",
     "user_set_ops",
+    "value_percentiles",
+    "user_event_pivot",
+    "range_join_event_pairs",
+    "kmv_distinct_estimate",
+    "windowed_counts_append",
 ]
 
 # synthetic extraction corpus size per sf of the driver tables

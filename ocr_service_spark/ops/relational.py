@@ -458,6 +458,161 @@ SELECT (SELECT count(*) FROM (
 """
 
 
+# --- exact percentiles --------------------------------------------------------
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type
+    (`percentile`, the exact form — approx_percentile's sketch would not
+    be oracle-comparable)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
+_ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- pivot --------------------------------------------------------------------
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts pivoted to one column per type. The pivot
+    value list is EXPLICIT — with it, Spark pivots in a single pass
+    (no extra distinct-values job), the shape that scales."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+_ORACLE_PIVOT = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY user_id
+"""
+
+
+# --- banded range join --------------------------------------------------------
+RANGE_GAP_S = 1800  # 30-minute band
+
+
+def q_range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered same-user event pairs within a 30-minute band — a banded
+    range SELF-join. Scale shape: bucket time into 30-min epochs and
+    equi-join on (user, bucket) with the predecessor's bucket and its
+    successor, then exact-filter — candidate pairs are bounded by band
+    population, never the O(n²) time cross product a raw ts-inequality
+    join would plan."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es")
+    )
+    bucket = (F.col("es") / RANGE_GAP_S).cast("long")
+    a = ev.withColumn("b", bucket).alias("a")
+    # the LATER side is replicated into its own and PREVIOUS bucket: any
+    # pair with 0 < es_b - es_a <= gap has b_a ∈ {b_b - 1, b_b}, so the
+    # pair meets in a's bucket exactly once
+    b_side = (
+        ev.withColumn("b0", bucket)
+        .withColumn("b", F.explode(F.array(F.col("b0") - 1, F.col("b0"))))
+        .drop("b0")
+        .alias("b")
+    )
+    pairs = a.join(
+        b_side,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.b") == F.col("b.b"))
+        & (F.col("b.es") > F.col("a.es"))
+        & (F.col("b.es") - F.col("a.es") <= RANGE_GAP_S),
+    )
+    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.max(F.col("b.es") - F.col("a.es")).alias("max_gap_s"),
+    )
+
+
+# floor(epoch(..)) mirrors Spark's unix_timestamp second-truncation
+_ORACLE_RANGE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+)
+SELECT a.user_id,
+       count(*) AS n_pairs,
+       max(b.es - a.es) AS max_gap_s
+FROM e a
+JOIN e b
+  ON b.user_id = a.user_id
+ AND b.es > a.es
+ AND b.es - a.es <= {RANGE_GAP_S}
+GROUP BY a.user_id
+"""
+
+
+# --- KMV distinct sketch ------------------------------------------------------
+KMV_K = 64
+
+
+def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV (k minimum values) distinct-count sketch over
+    order keys: keep the K smallest md5 hashes; estimate = (K-1) /
+    kth_min (hashes mapped to (0,1]). Unlike HLL (approx_count_distinct),
+    the sketch is a pure function of the data, so the DuckDB oracle
+    computes the identical estimate — and the min-K set is exactly the
+    mergeable summary a 100 TB scan would reduce per partition."""
+    orders = load(spark, sf_dir, "orders")
+    # 13 hex chars = 52 bits < double's 53-bit mantissa → the integer and
+    # the /2^52 scaling are both EXACT, so Spark and DuckDB compute
+    # bit-identical u values
+    hashed = orders.select(
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10)
+            .cast("double")
+            / F.lit(float(16 ** 13))
+        ).alias("u")
+    )
+    kth = (
+        hashed.orderBy("u")
+        .limit(KMV_K)
+        .agg(F.max("u").alias("kth"), F.count("*").alias("k"))
+    )
+    return kth.select(
+        F.col("k").alias("k"),
+        F.round((F.col("k") - 1) / F.col("kth"), 2).alias("distinct_estimate"),
+    )
+
+
+_ORACLE_KMV = f"""
+WITH hashed AS (
+  SELECT CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+         / CAST(POWER(16, 13) AS DOUBLE) AS u
+  FROM orders
+),
+mink AS (SELECT u FROM hashed ORDER BY u LIMIT {KMV_K})
+SELECT count(*) AS k,
+       round((count(*) - 1) / max(u), 2) AS distinct_estimate
+FROM mink
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_order_stats": q_segment_order_stats,
@@ -473,6 +628,10 @@ QUERIES = {
     "asof_last_order": q_asof_last_order,
     "order_priority_cube": q_order_priority_cube,
     "user_set_ops": q_user_set_ops,
+    "value_percentiles": q_value_percentiles,
+    "user_event_pivot": q_user_event_pivot,
+    "range_join_event_pairs": q_range_join_event_pairs,
+    "kmv_distinct_estimate": q_kmv_distinct_estimate,
 }
 
 ORACLES = {
@@ -490,4 +649,8 @@ ORACLES = {
     "asof_last_order": _ORACLE_ASOF,
     "order_priority_cube": _ORACLE_CUBE,
     "user_set_ops": _ORACLE_SETOPS,
+    "value_percentiles": _ORACLE_PERCENTILES,
+    "user_event_pivot": _ORACLE_PIVOT,
+    "range_join_event_pairs": _ORACLE_RANGE,
+    "kmv_distinct_estimate": _ORACLE_KMV,
 }
