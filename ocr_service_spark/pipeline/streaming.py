@@ -46,9 +46,15 @@ def run_extract_streaming(
     return run_extract(spark, docs_stream, media, cfg)
 
 
-def _staged_docs_stream(spark: SparkSession, data_dir: str) -> DataFrame:
+def _staged_docs_stream(
+    spark: SparkSession, data_dir: str, n_parts: int = 1
+) -> DataFrame:
     """readStream over the documents table (FileStreamSource wants a
-    directory — stage the single parquet file once)."""
+    directory — stage the parquet once). With n_parts > 1 the documents
+    split deterministically (hash of doc_id) into that many files and
+    maxFilesPerTrigger=1 makes each file its own micro-batch — the
+    multi-batch arrival shape."""
+    import glob
     import hashlib
     import os
     import shutil
@@ -58,13 +64,29 @@ def _staged_docs_stream(spark: SparkSession, data_dir: str) -> DataFrame:
     batch_docs = spark.read.parquet(src)
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"stream-docs-{hashlib.md5(src.encode()).hexdigest()[:12]}",
+        f"stream-docs-{n_parts}-{hashlib.md5(src.encode()).hexdigest()[:12]}",
     )
-    os.makedirs(stage, exist_ok=True)
-    dst = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(dst):
-        shutil.copyfile(src, dst)
-    return spark.readStream.schema(batch_docs.schema).parquet(stage)
+    if not glob.glob(os.path.join(stage, "part-*.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        if n_parts == 1:
+            shutil.copyfile(src, os.path.join(stage, "part-0.parquet"))
+        else:
+            from pyspark.sql import functions as F
+
+            for i in range(n_parts):
+                part = batch_docs.filter(
+                    F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)) == i
+                ).coalesce(1)
+                tmp = stage + f"-w{i}"
+                part.write.mode("overwrite").parquet(tmp)
+                shutil.copyfile(
+                    glob.glob(tmp + "/part-*.parquet")[0],
+                    os.path.join(stage, f"part-{i}.parquet"),
+                )
+    reader = spark.readStream.schema(batch_docs.schema)
+    if n_parts > 1:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.parquet(stage)
 
 
 def extract_stream_to_files(
@@ -73,6 +95,7 @@ def extract_stream_to_files(
     out_dir: str,
     cfg: ExtractConfig | None = None,
     n_buckets: int = 64,
+    n_batches: int = 1,
 ) -> None:
     """PRODUCTION streaming sink: readStream over the documents table →
     ``foreachBatch`` running the full BATCH extraction plan per
@@ -99,18 +122,22 @@ def extract_stream_to_files(
 
     cfg = cfg or ExtractConfig()
     media = spark.read.parquet(f"{data_dir}/media.parquet")
-    docs_stream = _staged_docs_stream(spark, data_dir)
+    docs_stream = _staged_docs_stream(spark, data_dir, n_parts=n_batches)
     out_path = f"{out_dir}/extracted"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         output, _metrics = run_extract(spark, batch_df, media, cfg)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             output.withColumn("batch_id", F.lit(batch_id))
             .withColumn("bucket", bucket_expr(n_buckets))
+            # write-scoped dynamic overwrite: foreachBatch runs in a
+            # CLONED session, so a session-level conf set here would not
+            # reach the writer — the option always does. Static mode
+            # would wipe earlier batches' partitions on every write.
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "bucket")
             .parquet(out_path)
         )

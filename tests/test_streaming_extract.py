@@ -26,6 +26,28 @@ def test_streaming_extract_matches_golden(spark, dataset):
     assert mismatched == [], f"{len(mismatched)} docs mismatch, e.g. {mismatched[:3]}"
 
 
+def test_streaming_file_sink_multibatch_exactly_once(spark, dataset, tmp_path):
+    """Documents arriving as THREE separate micro-batches must still
+    produce exactly the golden span set (per-batch bucketed writes, no
+    duplicates, no losses), and a second run against the same streaming
+    checkpoint must be a no-op."""
+    from ocr_service_spark.pipeline.streaming import (
+        extract_stream_to_files,
+        read_stream_output,
+    )
+
+    data_dir = os.path.dirname(dataset["documents"])
+    out_dir = str(tmp_path / "stream-mb")
+    extract_stream_to_files(spark, data_dir, out_dir, n_batches=3)
+    got = _seqs(read_stream_output(spark, out_dir).collect())
+    golden = _seqs(spark.read.parquet(dataset["golden"]).collect())
+    assert got == golden
+    # replay with the same checkpoint: source files already consumed
+    extract_stream_to_files(spark, data_dir, out_dir, n_batches=3)
+    again = _seqs(read_stream_output(spark, out_dir).collect())
+    assert again == golden  # no duplicates appeared
+
+
 def test_streaming_file_sink_matches_golden(spark, dataset, tmp_path):
     """The PRODUCTION path — foreachBatch into a bucketed parquet sink —
     must reproduce the golden span sequences byte-equal, read back from
