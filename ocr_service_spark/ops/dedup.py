@@ -357,6 +357,141 @@ SELECT bucket, count(*) AS n_neardup_pairs FROM pairs WHERE cos >= 0.3 GROUP BY 
 """
 
 
+# --- near-dup cluster resolution (iterative connected components) ---------------
+
+CC_MAX_ITERS = 30  # bound >> expected diameter of capped-bucket graphs
+
+
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup edges: doc pairs sharing a MinHash-LSH band
+    bucket (capped like the Jaccard posting lists). Ordered d1 < d2."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", "m0", "m1")).alias("b0"),
+        F.md5(F.concat_ws("|", "m2", "m3")).alias("b1"),
+    )
+    stacked = bands.select(
+        "doc_id", F.explode(F.array("b0", "b1")).alias("bucket")
+    )
+    posting = (
+        stacked.groupBy("bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= MAX_SHINGLE_BUCKET))
+    )
+    return (
+        posting.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> transform("
+                    "slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS d1, y AS d2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.d1", "p.d2")
+        .distinct()
+    )
+
+
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph — the
+    cluster-resolution step every dedup pipeline needs after candidate
+    generation (keep one doc per component).
+
+    Algorithm: iterative hash-to-min label propagation — every node
+    repeatedly adopts the minimum label in its closed neighborhood until
+    a fixpoint. Each iteration is one shuffle over the EDGE list (never
+    materializing components), and iterations are bounded by graph
+    diameter — the standard MapReduce/Spark CC shape that holds at
+    100 TB, unlike any per-component collect. The DuckDB oracle computes
+    the same fixpoint with a recursive CTE, so this ITERATIVE algorithm
+    is still exactly oracle-checked. Returns the component-size
+    histogram."""
+    edges = _lsh_edges(spark, sf_dir).persist()
+    # symmetric closure once; labels start as the node id
+    sym = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).persist()
+    nodes = sym.select(F.col("d1").alias("node")).distinct()
+    # localCheckpoint per iteration: persist alone is NOT enough for an
+    # iterative loop — a partially-materialized cache (e.g. after an
+    # early-stopping action) recomputes through a lineage that nests one
+    # level per iteration, and analysis cost alone goes superlinear.
+    # Checkpointing truncates the plan to the materialized partitions.
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.d2 == labels.node)
+            .groupBy(F.col("d1").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    out = sizes.groupBy("size").agg(F.count("*").alias("n_components"))
+    result = out.persist()
+    result.count()
+    sym.unpersist()
+    edges.unpersist()
+    return result
+
+
+_ORACLE_CC = f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS (
+  SELECT doc_id, md5(concat(m0, '|', m1)) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, md5(concat(m2, '|', m3)) AS bucket FROM sig
+),
+posting AS (
+  SELECT bucket, list_sort(list_distinct(list(doc_id))) AS ds
+  FROM bands GROUP BY bucket
+  HAVING len(list_distinct(list(doc_id))) BETWEEN 2 AND {MAX_SHINGLE_BUCKET}
+),
+edges AS (
+  SELECT DISTINCT a.d1, b.d2
+  FROM (
+    SELECT unnest(ds) AS d1, bucket FROM posting
+  ) a JOIN (
+    SELECT unnest(ds) AS d2, bucket FROM posting
+  ) b USING (bucket)
+  WHERE a.d1 < b.d2
+),
+sym AS (
+  SELECT d1, d2 FROM edges UNION ALL SELECT d2, d1 FROM edges
+),
+nodes AS (SELECT DISTINCT d1 AS node FROM sym),
+walk AS (
+  -- all labels reachable from each node; min per node = component id
+  WITH RECURSIVE r(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.d1, r.label FROM r JOIN sym s ON s.d2 = r.node
+  )
+  SELECT node, min(label) AS label FROM r GROUP BY node
+),
+sizes AS (SELECT label, count(*) AS size FROM walk GROUP BY label)
+SELECT size, count(*) AS n_components FROM sizes GROUP BY size
+"""
+
+
 QUERIES = {
     "exact_dup_clusters": q_exact_dup_clusters,
     "minhash_signatures": q_minhash_signatures,
@@ -364,6 +499,7 @@ QUERIES = {
     "simhash_histogram": q_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_neardup": q_embedding_neardup,
+    "neardup_components": q_neardup_components,
 }
 
 ORACLES = {
@@ -373,4 +509,5 @@ ORACLES = {
     "simhash_histogram": _simhash_sql(),
     "ngram_jaccard_pairs": _ORACLE_JACCARD,
     "embedding_neardup": _emb_neardup_sql(),
+    "neardup_components": _ORACLE_CC,
 }
