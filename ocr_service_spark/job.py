@@ -59,6 +59,13 @@ def main(argv: list[str] | None = None) -> int:
         help="run under Structured Streaming (readStream -> foreachBatch "
         "-> exactly-once bucketed file sink) instead of the batch path",
     )
+    ap.add_argument(
+        "--structure",
+        action="store_true",
+        help="also write structured/ — R8 receipt structuring of every "
+        "extracted media-text span (LLM client when LLM_API_URL/KEY are "
+        "set, deterministic heuristic otherwise)",
+    )
     args = ap.parse_args(argv)
 
     kwargs = {}
@@ -104,10 +111,41 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.n_buckets,
             use_iceberg=bool(args.catalog),
         )
+    n_structured = None
+    if args.structure:
+        # R8: structure the OCR text of every media_text span (the
+        # visualizer's LLM step, deepseek_client.py:24-114, as a second
+        # batch output)
+        from pyspark.sql import functions as F
+
+        from .kernels.structuring import structure_spans
+
+        if args.stream:
+            from .pipeline.streaming import read_stream_output
+
+            extracted = read_stream_output(spark, args.out_dir)
+        else:
+            from .pipeline.checkpoint import read_output
+
+            extracted = read_output(spark, args.out_dir)
+        media_text = (
+            extracted.select("doc_id", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media_text")
+            .select(
+                "doc_id",
+                F.col("s.order").alias("span_order"),
+                F.col("s.text").alias("text"),
+            )
+        )
+        structured = structure_spans(media_text)
+        structured.write.mode("overwrite").parquet(f"{args.out_dir}/structured")
+        n_structured = spark.read.parquet(f"{args.out_dir}/structured").count()
+
     wall = time.time() - t0
     summary = {
         "run_id": cfg.run_id,
         "mode": "stream" if args.stream else "batch",
+        "structured_spans": n_structured,
         "processed_docs": stats["processed_docs"],
         "processed_buckets": stats["processed_buckets"],
         "wall_sec": round(wall, 3),
