@@ -241,8 +241,63 @@ FROM dedup GROUP BY lang
 """.replace("{thr}", str(CURATION_MIN_QUALITY))
 
 
+# --- deterministic stratified sampling ----------------------------------------
+# per-language keep rates: downsample the dominant language, keep the
+# rest — the standard corpus-rebalancing shape
+SAMPLE_RATES = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.5}
+SAMPLE_DEFAULT_RATE = 1.0
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a doc iff the fractional
+    value of md5(doc_id)'s first 13 hex chars is below its language's
+    rate. Unlike rand()-based TABLESAMPLE, the decision is a pure
+    function of the row — reproducible across retries/partitionings
+    (the property a resumable 100 TB pipeline needs) and exactly
+    oracle-checkable. Returns per-language kept counts."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16 ** 13))
+    )
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    kept = docs.filter(u < rate)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .join(
+            docs.groupBy("lang").agg(F.count("*").alias("n_total")), "lang"
+        )
+        .select("lang", "n_kept", "n_total")
+    )
+
+
+_rate_sql = " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+)
+_ORACLE_SAMPLE = f"""
+WITH u AS (
+  SELECT lang,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+           / CAST(POWER(16, 13) AS DOUBLE) AS u
+  FROM documents
+),
+kept AS (
+  SELECT lang FROM u
+  WHERE u < CASE {_rate_sql} ELSE {SAMPLE_DEFAULT_RATE} END
+)
+SELECT t.lang, k.n_kept, t.n_total
+FROM (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang) t
+JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang) k USING (lang)
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
+    "stratified_sample": q_stratified_sample,
     "quality_scores": q_quality_scores,
     "langid_heuristic": q_langid,
     "fingerprint_clusters": q_fingerprint_clusters,
@@ -251,6 +306,7 @@ QUERIES = {
 
 ORACLES = {
     "token_stats": _ORACLE_TOKEN_STATS,
+    "stratified_sample": _ORACLE_SAMPLE,
     "quality_scores": _ORACLE_QUALITY,
     "langid_heuristic": _ORACLE_LANGID,
     "fingerprint_clusters": _ORACLE_FINGERPRINT,
