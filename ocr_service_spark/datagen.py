@@ -112,7 +112,9 @@ def _make_media_blob(
     pixels = np.clip(
         rng.normal(brightness, 18.0, size=(h, w)), 0, 255
     ).astype(np.uint8)
-    # bright receipt quad on the background (foreground for bbox path)
+    # annotated corner quad: upstream annotation metadata the kernels do
+    # NOT consume (geometry comes from pixels) — kept so every meta dict
+    # carries unknown keys, pinning that kernels tolerate them
     mx, my = w // 8, h // 8
     quad = [
         [mx + float(rng.uniform(-3, 3)), my + float(rng.uniform(-3, 3))],

@@ -59,6 +59,14 @@ def media_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(media)
 
 
+def media_size_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.multimodal import media_size_stats
+
+    data_dir = _entry_dataset_dir()
+    media = spark.read.parquet(f"{data_dir}/media.parquet")
+    return media_size_stats(media)
+
+
 def media_thumbnail_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -105,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(mod.QUERIES)
     out["extract_pipeline"] = extract_pipeline_query
     out["media_metadata"] = media_metadata_query
+    out["media_size_stats"] = media_size_stats_query
     out["media_thumbnails"] = media_thumbnail_query
     out["video_frame_sample"] = video_frame_sample_query
     out["audio_features"] = audio_features_query

@@ -38,6 +38,7 @@ def test_registry_consistency():
     assert rows_only == {
         "extract_pipeline",
         "media_metadata",
+        "media_size_stats",
         "media_thumbnails",
         "video_frame_sample",
         "audio_features",
