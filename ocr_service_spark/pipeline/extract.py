@@ -51,6 +51,12 @@ def prepare_spans(docs: DataFrame) -> DataFrame:
     Order = position of the span when the doc's spans are sorted by
     `offset` — computed row-locally: re-root the struct on offset,
     sort_array, posexplode. Offsets are unique per doc (input contract).
+
+    posexplode_OUTER: a document with an empty (or null) spans array
+    still yields one carrier row (null kind/order) so it survives to the
+    output with spans = [] instead of silently disappearing — handled
+    row-locally, no extra doc-id join. Carrier rows flow through the
+    textual branch with a null kind and are dropped at reassembly.
     """
     sorted_spans = F.sort_array(
         F.transform(
@@ -64,7 +70,7 @@ def prepare_spans(docs: DataFrame) -> DataFrame:
         )
     )
     return docs.select(
-        "doc_id", F.posexplode(sorted_spans).alias("order", "s")
+        "doc_id", F.posexplode_outer(sorted_spans).alias("order", "s")
     ).select(
         "doc_id",
         F.col("order").cast("int").alias("order"),
@@ -97,11 +103,17 @@ def _extract_textual(kind: pd.Series, text: pd.Series) -> pd.Series:
 
 
 def _textual_branch(spans: DataFrame) -> DataFrame:
-    branch = spans.filter(F.col("kind") != "media")
+    # null kind = empty-doc carrier row (prepare_spans): keep it so the
+    # doc reaches reassembly, with kind left null to be dropped there
+    branch = spans.filter(
+        (F.col("kind") != "media") | F.col("kind").isNull()
+    )
     return branch.select(
         "doc_id",
         "order",
-        F.lit("text").alias("kind"),
+        F.when(F.col("kind").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.lit("text"))
+        .alias("kind"),
         _extract_textual("kind", "text").alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
     )
@@ -604,7 +616,9 @@ def run_extract(
         .select(
             "doc_id",
             F.transform(
-                "ordered",
+                # drop empty-doc carrier rows (null kind): the doc keeps
+                # its output row with spans = []
+                F.filter("ordered", lambda s: s["kind"].isNotNull()),
                 lambda s: F.struct(
                     s["kind"].alias("kind"),
                     s["text"].alias("text"),

@@ -64,6 +64,24 @@ def test_fallback_path_used_for_inmemory_media(spark, frames):
     assert sum(m["n_blobs"] for m in metrics.collect()) == 1
 
 
+def test_empty_spans_doc_survives(spark, frames):
+    """A document with an empty (or null) spans array must appear in the
+    output with spans = [], not silently disappear."""
+    docs = spark.createDataFrame(
+        [("empty", []), ("nullspans", None),
+         ("normal", [{"kind": "text", "text": "hi", "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    media = spark.createDataFrame(
+        [], "media_ref string, content binary, file_size int"
+    )
+    output, _ = run_extract(spark, docs, media, ExtractConfig())
+    got = _collect_spans(output)
+    assert got["empty"] == []
+    assert got["nullspans"] == []
+    assert got["normal"] == [("text", "hi", None, 0)]
+
+
 def test_dangling_media_ref_yields_failed_span(spark, frames):
     docs, media = frames
     output, _ = run_extract(spark, docs, media, ExtractConfig())
