@@ -252,6 +252,61 @@ WHERE ws + INTERVAL '5 minutes' <= final_wm.wmf
 """
 
 
+# --- native session windows ----------------------------------------------------
+
+SESSION_GAP = "30 minutes"
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE session windows (F.session_window — dynamic-gap
+    merging state in the streaming engine itself, distinct from both the
+    batch lag/cumsum sessionization and the applyInPandasWithState
+    custom operator): one row per (user, session) with its span and
+    event count, run as a real streaming query."""
+    stream = _staged_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            # epoch-microsecond ints: exact on both engines (fractional
+            # timestamp→string formatting differs between them)
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    return _drain_to_df(spark, agg, "session_windows_sink", "complete")
+
+
+# Session window semantics: a session's end = last event ts + gap; events
+# within `gap` of the previous event merge. The lag/cumsum construction
+# reproduces it exactly (gap comparison is strict > in Spark's merge —
+# an event exactly `gap` after the previous EXTENDS the session).
+_ORACLE_SESSION_WINDOWS = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 # --- custom stateful operator: applyInPandasWithState ------------------------
 
 SESSION_GAP_S = 1800
@@ -343,6 +398,7 @@ FROM s GROUP BY user_id
 QUERIES = {
     "windowed_event_counts": q_windowed_event_counts,
     "windowed_counts_append": q_windowed_counts_append,
+    "session_windows": q_session_windows,
     "sessionization": q_sessionization,
     "event_props_json": q_event_props_json,
     "stateful_session_counts": q_stateful_session_counts,
@@ -351,6 +407,7 @@ QUERIES = {
 ORACLES = {
     "windowed_event_counts": _ORACLE_WINDOWED,
     "windowed_counts_append": _ORACLE_WINDOWED_APPEND,
+    "session_windows": _ORACLE_SESSION_WINDOWS,
     "sessionization": _ORACLE_SESSIONS,
     "event_props_json": _ORACLE_PROPS,
     "stateful_session_counts": _ORACLE_STATEFUL,
