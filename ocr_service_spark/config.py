@@ -96,3 +96,13 @@ class ExtractConfig:
     # when the media frame is not a plain parquet scan
     direct_blob_read: bool = True
     attempts: tuple[tuple[str, str], ...] = field(default=CASCADE_ATTEMPTS)
+
+    def __post_init__(self) -> None:
+        # fail fast: a typo'd enum would otherwise silently change the
+        # kernel path (mode != 'neural' routes classic)
+        if self.alignment_mode not in ("neural", "classic"):
+            raise ValueError(f"alignment_mode must be neural|classic, got {self.alignment_mode!r}")
+        if self.warp_interp not in ("nearest", "cubic"):
+            raise ValueError(f"warp_interp must be nearest|cubic, got {self.warp_interp!r}")
+        if not 0.0 <= self.confidence_low <= 1.0:
+            raise ValueError(f"confidence_low out of [0,1]: {self.confidence_low}")

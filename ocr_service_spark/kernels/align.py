@@ -688,7 +688,14 @@ def min_area_rect_points(pts: np.ndarray) -> np.ndarray:
         area = wdt * hgt
         if best is None or area < best[0]:
             best = (area, u, v, xs.min(), xs.max(), ys.min(), ys.max())
-    assert best is not None
+    if best is None:
+        # every hull edge below the length epsilon: the points are
+        # effectively coincident — axis-aligned bbox degenerate rect
+        x0, x1 = pts[:, 0].min(), pts[:, 0].max()
+        y0, y1 = pts[:, 1].min(), pts[:, 1].max()
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64
+        )
     _, u, v, x0, x1, y0, y1 = best
     return np.array(
         [
