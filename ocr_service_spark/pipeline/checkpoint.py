@@ -77,7 +77,8 @@ def run_resumable(
     if todo.limit(1).isEmpty():
         return {"processed_docs": 0, "processed_buckets": 0}
 
-    output, _metrics = run_extract(spark, todo, media, cfg)
+    details_out: list = []
+    output, _metrics = run_extract(spark, todo, media, cfg, details_out=details_out)
     output_b = output.withColumn("bucket", bucket_expr(n_buckets))
 
     if use_iceberg:
@@ -127,6 +128,14 @@ def run_resumable(
         iceberg.merge_checkpoint(lineage)
     else:
         lineage.write.mode("append").parquet(ckpt_path)
+
+    # per-blob recognition records (reference recognition_results,
+    # schema.ts:31-58): status, engine, confidence, QR fields, error,
+    # processing_ms — appended after the data writes, like lineage
+    if details_out:
+        details_out[0].withColumn("run_id", F.lit(cfg.run_id)).write.mode(
+            "append"
+        ).parquet(f"{out_dir}/recognitions")
 
     stats = todo.agg(
         F.count("*").alias("d"), F.countDistinct("bucket").alias("b")

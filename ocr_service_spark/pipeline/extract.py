@@ -38,10 +38,16 @@ _BRANCH_COLS = ["doc_id", "order", "kind", "text", "media_ref"]
 
 # media extraction output: one row per BLOB (not per span) + a per-scan-
 # partition metrics sideband row
+# span rows double as the recognition_results-analog detail record
+# (reference schema.ts:31-58: status, engine, confidence,
+# used_preprocessed, qr fields, error, processing_time)
 _MEDIA_RESULT_SCHEMA = (
     "media_ref string, kind string, text string, row_type string, "
     "part_id int, n_blobs long, ocr_chars long, "
-    "kernel_ms_p50 double, kernel_ms_max double"
+    "kernel_ms_p50 double, kernel_ms_max double, "
+    "status string, engine string, confidence double, "
+    "used_preprocessed boolean, qr_data string, qr_format string, "
+    "found_in_preprocessed boolean, error string, processing_ms double"
 )
 
 
@@ -123,6 +129,27 @@ def _textual_branch(spans: DataFrame) -> DataFrame:
 # media branch — scan-side extraction: blob bytes NEVER shuffle
 # --------------------------------------------------------------------------
 
+# per-blob recognition detail columns (recognition_results analog)
+_DETAIL_KEYS = (
+    "status", "engine", "confidence", "used_preprocessed", "qr_data",
+    "qr_format", "found_in_preprocessed", "error", "processing_ms",
+)
+
+
+def _append_detail(details: dict, res: dict, ms: float) -> None:
+    qr_loc = res.get("qr_location")  # typed struct omitted from the flat record
+    details["status"].append(res.get("status"))
+    details["engine"].append(res.get("engine"))
+    c = res.get("confidence")
+    details["confidence"].append(float(c) if c is not None else None)
+    details["used_preprocessed"].append(res.get("used_preprocessed"))
+    details["qr_data"].append(res.get("qr_data"))
+    details["qr_format"].append(res.get("qr_format"))
+    details["found_in_preprocessed"].append(res.get("found_in_preprocessed"))
+    details["error"].append(res.get("error"))
+    details["processing_ms"].append(round(ms, 3))
+
+
 def _make_media_fn(cfg: ExtractConfig):
     conf_low = cfg.confidence_low
     accepted = cfg.accepted_qr_formats
@@ -140,6 +167,7 @@ def _make_media_fn(cfg: ExtractConfig):
         kernel_ms: list[float] = []
         for pdf in batches:
             texts, kinds = [], []
+            details = {k: [] for k in _DETAIL_KEYS}
             for blob in pdf["content"]:
                 t0 = time.perf_counter()
                 res = extract_media_span(
@@ -151,9 +179,11 @@ def _make_media_fn(cfg: ExtractConfig):
                     warp_interp=warp_interp,
                     alignment_mode=alignment_mode,
                 )
-                kernel_ms.append((time.perf_counter() - t0) * 1000.0)
+                ms = (time.perf_counter() - t0) * 1000.0
+                kernel_ms.append(ms)
                 kinds.append(res["kind"] if res["status"] == "completed" else "media_text")
                 texts.append(res.get("text"))
+                _append_detail(details, res, ms)
                 ocr_chars += len(res.get("text") or "")
             n_blobs += len(pdf)
             yield pd.DataFrame(
@@ -167,6 +197,7 @@ def _make_media_fn(cfg: ExtractConfig):
                     "ocr_chars": None,
                     "kernel_ms_p50": None,
                     "kernel_ms_max": None,
+                    **details,
                 }
             )
         # metrics sideband row — per-partition lineage (north rule), the
@@ -183,6 +214,7 @@ def _make_media_fn(cfg: ExtractConfig):
                 "ocr_chars": [ocr_chars],
                 "kernel_ms_p50": [ms[len(ms) // 2] if ms else None],
                 "kernel_ms_max": [ms[-1] if ms else None],
+                **{k: [None] for k in _DETAIL_KEYS},
             }
         )
 
@@ -232,6 +264,7 @@ def _make_direct_media_fn(cfg: ExtractConfig):
                     refs = tbl.column("media_ref").to_pylist()
                     blobs = tbl.column("content").to_pylist()
                     texts, kinds = [], []
+                    details = {k: [] for k in _DETAIL_KEYS}
                     for blob in blobs:
                         t0 = time.perf_counter()
                         res = extract_media_span(
@@ -243,11 +276,13 @@ def _make_direct_media_fn(cfg: ExtractConfig):
                             warp_interp=warp_interp,
                             alignment_mode=alignment_mode,
                         )
-                        kernel_ms.append((time.perf_counter() - t0) * 1000.0)
+                        ms = (time.perf_counter() - t0) * 1000.0
+                        kernel_ms.append(ms)
                         kinds.append(
                             res["kind"] if res["status"] == "completed" else "media_text"
                         )
                         texts.append(res.get("text"))
+                        _append_detail(details, res, ms)
                         ocr_chars += len(res.get("text") or "")
                     n_blobs += len(refs)
                     yield pd.DataFrame(
@@ -261,6 +296,7 @@ def _make_direct_media_fn(cfg: ExtractConfig):
                             "ocr_chars": None,
                             "kernel_ms_p50": None,
                             "kernel_ms_max": None,
+                            **details,
                         }
                     )
         ms = sorted(kernel_ms)
@@ -275,6 +311,7 @@ def _make_direct_media_fn(cfg: ExtractConfig):
                 "ocr_chars": [ocr_chars],
                 "kernel_ms_p50": [ms[len(ms) // 2] if ms else None],
                 "kernel_ms_max": [ms[-1] if ms else None],
+                **{k: [None] for k in _DETAIL_KEYS},
             }
         )
 
@@ -566,6 +603,13 @@ def _media_branch(
     metrics = results.filter(F.col("row_type") == "metrics").select(
         "part_id", "n_blobs", "ocr_chars", "kernel_ms_p50", "kernel_ms_max"
     )
+    # full recognition record per blob (reference recognition_results,
+    # schema.ts:31-58) — written by run_resumable as recognitions/
+    details = results.filter(F.col("row_type") == "span").select(
+        "media_ref", "status", "kind", "text", "engine", "confidence",
+        "used_preprocessed", "qr_data", "qr_format", "found_in_preprocessed",
+        "error", "processing_ms",
+    )
     branch = media_spans.join(res_spans, "media_ref", "left").select(
         "doc_id",
         "order",
@@ -575,7 +619,7 @@ def _media_branch(
         "text",
         "media_ref",
     )
-    return branch, metrics
+    return branch, metrics, details
 
 
 # --------------------------------------------------------------------------
@@ -587,16 +631,24 @@ def run_extract(
     docs: DataFrame,
     media: DataFrame,
     cfg: ExtractConfig | None = None,
+    details_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full pipeline. Returns (output, metrics):
 
     output  — (doc_id, spans ARRAY<STRUCT<kind,text,media_ref,order>>)
     metrics — per-OCR-partition lineage rows (part_id, n_blobs, ocr_chars,
               kernel_ms_p50, kernel_ms_max)
+
+    Pass a list as ``details_out`` to also receive the per-blob
+    recognition record frame (status/engine/confidence/QR fields/error/
+    processing_ms — the reference's recognition_results analog,
+    schema.ts:31-58); run_resumable writes it as ``recognitions/``.
     """
     cfg = cfg or ExtractConfig()
     spans = prepare_spans(docs)
-    media_rows, metrics = _media_branch(spans, media, cfg)
+    media_rows, metrics, details = _media_branch(spans, media, cfg)
+    if details_out is not None:
+        details_out.append(details)
     span_rows = _textual_branch(spans).unionByName(media_rows)
 
     output = (

@@ -59,3 +59,26 @@ def test_resume_processes_only_complement(spark, dataset, tmp_path):
     got = _seqs(out.collect())
     golden = _seqs(spark.read.parquet(dataset["golden"]).collect())
     assert got == golden
+
+
+def test_recognitions_table_written(spark, dataset, tmp_path):
+    """run_resumable writes the per-blob recognition record table
+    (reference recognition_results analog, schema.ts:31-58): every blob
+    gets a status, OCR rows carry engine+confidence, QR short-circuits
+    carry qr_data/qr_format, and processing_ms is populated."""
+    data_dir = os.path.dirname(dataset["documents"])
+    docs, media = load_inputs(spark, data_dir)
+    out_dir = str(tmp_path / "rec-run")
+    run_resumable(spark, docs, media, out_dir, ExtractConfig(run_id="rec"), n_buckets=N_BUCKETS)
+    rec = spark.read.parquet(f"{out_dir}/recognitions")
+    n_blobs = media.count()
+    assert rec.count() == n_blobs
+    assert rec.filter(F.col("status").isNull()).count() == 0
+    ocr = rec.filter(F.col("kind") == "media_text").filter(F.col("status") == "completed")
+    assert ocr.filter(F.col("engine").isNull() | F.col("confidence").isNull()).count() == 0
+    qr = rec.filter(F.col("kind") == "qr")
+    if qr.count():
+        assert qr.filter(F.col("qr_data").isNull() | F.col("qr_format").isNull()).count() == 0
+        assert qr.filter(F.col("engine").isNotNull()).count() == 0  # short-circuit skipped OCR
+    assert rec.filter(F.col("processing_ms").isNull()).count() == 0
+    assert rec.select("run_id").distinct().collect()[0][0] == "rec"
