@@ -131,11 +131,29 @@ def run_resumable(
 
     # per-blob recognition records (reference recognition_results,
     # schema.ts:31-58): status, engine, confidence, QR fields, error,
-    # processing_ms — appended after the data writes, like lineage
+    # processing_ms. The reference UPSERTS recognition rows, so this
+    # table mirrors extracted/'s idempotent layout: records join to
+    # their owning doc's bucket (a narrow text-sized join) and write
+    # with per-bucket dynamic overwrite — a partial resume REPLACES
+    # exactly its re-processed buckets' records, never duplicating
+    # (the whole media table is re-extracted on resume, see
+    # _media_branch docstring, but unprocessed buckets' records stand).
     if details_out:
-        details_out[0].withColumn("run_id", F.lit(cfg.run_id)).write.mode(
-            "append"
-        ).parquet(f"{out_dir}/recognitions")
+        ref_buckets = (
+            todo.select("bucket", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media")
+            .select("bucket", F.col("s.media_ref").alias("media_ref"))
+            .distinct()
+        )
+        (
+            details_out[0]
+            .join(ref_buckets, "media_ref")
+            .withColumn("run_id", F.lit(cfg.run_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(f"{out_dir}/recognitions")
+        )
 
     stats = todo.agg(
         F.count("*").alias("d"), F.countDistinct("bucket").alias("b")

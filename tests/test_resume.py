@@ -82,3 +82,27 @@ def test_recognitions_table_written(spark, dataset, tmp_path):
         assert qr.filter(F.col("engine").isNotNull()).count() == 0  # short-circuit skipped OCR
     assert rec.filter(F.col("processing_ms").isNull()).count() == 0
     assert rec.select("run_id").distinct().collect()[0][0] == "rec"
+
+
+def test_recognitions_no_duplicates_on_partial_resume(spark, dataset, tmp_path):
+    """A partial resume re-extracts the whole media table (documented
+    corollary) but must append recognition records ONLY for the buckets
+    it actually processed — no duplicate blob records across runs."""
+    data_dir = os.path.dirname(dataset["documents"])
+    docs, media = load_inputs(spark, data_dir)
+    out_dir = str(tmp_path / "rec-resume")
+    run_resumable(spark, docs, media, out_dir, ExtractConfig(run_id="a"), n_buckets=N_BUCKETS)
+    # drop half the checkpoint → those buckets become TODO again
+    ckpt = spark.read.parquet(f"{out_dir}/_checkpoint")
+    keep = ckpt.filter(F.col("partition_key").cast("int") < N_BUCKETS // 2)
+    keep.write.mode("overwrite").parquet(f"{out_dir}/_ckpt_tmp")
+    spark.read.parquet(f"{out_dir}/_ckpt_tmp").write.mode("overwrite").parquet(
+        f"{out_dir}/_checkpoint"
+    )
+    run_resumable(spark, docs, media, out_dir, ExtractConfig(run_id="b"), n_buckets=N_BUCKETS)
+    rec = spark.read.parquet(f"{out_dir}/recognitions")
+    dups = (
+        rec.groupBy("media_ref").count().filter(F.col("count") > 1).count()
+    )
+    assert dups == 0
+    assert rec.count() == media.count()  # every blob recorded exactly once
