@@ -157,20 +157,29 @@ LIMIT {TOP_K}
 
 # --- IVF-flat: coarse quantization + in-cell probe -------------------------------
 
-IVF_K = 8  # coarse centroids (seeded from the first K vectors — k-means init)
+def _ivf_k(n_vectors: int) -> int:
+    """Corpus-sized coarse-centroid count: K ≈ √n, the standard IVF
+    sizing — cell population and centroid count both grow as √n, so the
+    probe scans ~2√n rows total at any corpus size (a fixed K degrades
+    to O(n) cells as the corpus grows)."""
+    import math
+
+    return max(4, math.ceil(math.sqrt(n_vectors)))
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every vector to its nearest coarse centroid by cosine.
 
-    Centroids are the first IVF_K vectors (deterministic k-means-style
-    seeding — no stored model, same rule in the oracle). Scale shape: the
-    K-row centroid table broadcasts; assignment is one scan, no shuffle
-    until the per-cell aggregate."""
+    Centroids are the first K = √n vectors (deterministic k-means-style
+    seeding — no stored model, same rule in the oracle; the count() is a
+    metadata-only scan). Scale shape: the K-row centroid table
+    broadcasts; assignment is one scan, no shuffle until the per-cell
+    aggregate."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+    k = _ivf_k(emb.count())
+    cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), _norm("v").alias("cn")
     )
     dot = F.aggregate(
@@ -217,13 +226,16 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CELLS_SQL = f"""
-WITH e AS (
+_IVF_CELLS_SQL = """
+WITH k AS (
+  SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS kk FROM embeddings
+),
+e AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
 ),
-c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM e WHERE vec_id < {IVF_K}),
+c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM e WHERE vec_id < (SELECT kk FROM k)),
 scored AS (
   SELECT e.vec_id, e.embedding, e.nrm, c.cid,
          list_sum(list_transform(list_zip(e.embedding, c.cv),
