@@ -13,8 +13,18 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from . import load
 
 TOP_K = 10
-LSH_BITS = 6
+LSH_TARGET_BUCKET = 16  # expected vectors per sign-LSH bucket
 QUERY_VEC_ID = 0
+
+
+def _lsh_bits(n_vectors: int) -> int:
+    """Corpus-sized sign-LSH bit count: buckets scale with n so expected
+    bucket population stays ~LSH_TARGET_BUCKET (the probe then scans a
+    ~constant-sized candidate set at any corpus size; fixed bits would
+    degrade to O(n) per bucket)."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(n_vectors / LSH_TARGET_BUCKET, 2.0))))
 
 
 def _as_double(col):
@@ -74,31 +84,36 @@ LIMIT {TOP_K}
 """
 
 
-def _bucket_expr_spark(col):
+def _bucket_expr_spark(col, bits: int = 6):
     parts = [
-        F.when(F.element_at(col, i) >= 0, "+").otherwise("-") for i in range(1, LSH_BITS + 1)
+        F.when(F.element_at(col, i) >= 0, "+").otherwise("-") for i in range(1, bits + 1)
     ]
     return F.concat(*parts)
 
 
+# corpus-sized bucket expr in SQL: sign string of the first
+# ceil(log2(n/target)) dims via a scalar subquery
+_BUCKET_SQL_DYNAMIC = f"""array_to_string(list_transform(
+    embedding[1:(SELECT greatest(1, CAST(ceil(log2(greatest(count(*) / {LSH_TARGET_BUCKET}.0, 2.0))) AS INT)) FROM embeddings)],
+    x -> CASE WHEN x >= 0 THEN '+' ELSE '-' END), '')"""
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketing (hyperplanes = first LSH_BITS coordinate axes;
-    deterministic, no stored model). Bucket histogram — the candidate-set
-    size distribution an ANN probe would scan."""
+    """Sign-LSH bucketing (hyperplanes = the first coordinate axes,
+    bit count sized to the corpus — _lsh_bits; deterministic, no stored
+    model). Bucket histogram — the candidate-set size distribution an
+    ANN probe would scan."""
     emb = load(spark, sf_dir, "embeddings")
+    bits = _lsh_bits(emb.count())
     return (
-        emb.select(_bucket_expr_spark(F.col("embedding")).alias("bucket"))
+        emb.select(_bucket_expr_spark(F.col("embedding"), bits).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
 
 
-_bucket_sql = " || ".join(
-    f"CASE WHEN embedding[{i}] >= 0 THEN '+' ELSE '-' END" for i in range(1, LSH_BITS + 1)
-)
-
 _ORACLE_ANN_BUCKETS = f"""
-SELECT {_bucket_sql} AS bucket, count(*) AS n_vectors
+SELECT {_BUCKET_SQL_DYNAMIC} AS bucket, count(*) AS n_vectors
 FROM embeddings
 GROUP BY 1
 """
@@ -107,10 +122,12 @@ GROUP BY 1
 def q_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN probe: exact top-k *within the query's LSH bucket* — the
     bucketed scale path (scan ≈ n/2^bits instead of n)."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb_raw = load(spark, sf_dir, "embeddings")
+    bits = _lsh_bits(emb_raw.count())
+    emb = emb_raw.select(
         "vec_id",
         _as_double("embedding").alias("v"),
-        _bucket_expr_spark(F.col("embedding")).alias("bucket"),
+        _bucket_expr_spark(F.col("embedding"), bits).alias("bucket"),
     )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), _norm("v").alias("qn"), F.col("bucket").alias("qb")
@@ -134,7 +151,7 @@ def q_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_ANN_PROBE = f"""
-WITH b AS (SELECT vec_id, embedding, {_bucket_sql} AS bucket FROM embeddings),
+WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL_DYNAMIC} AS bucket FROM embeddings),
 q AS (
   SELECT embedding AS qv, bucket AS qb,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
