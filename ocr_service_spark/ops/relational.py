@@ -432,7 +432,11 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Users who clicked ∩ purchased, clicked ∖ purchased, purchased ∖
     clicked — distinct-set semantics (both sides dedup on the shuffle
-    key, so each leg is one aggregation-sized exchange)."""
+    key, so each leg is one aggregation-sized exchange). Deliberately
+    expressed with the set OPERATORS (intersect/subtract) to cover that
+    operator class; a hot-path variant would fold all three counts into
+    one pass (groupBy(user).agg(has_click, has_buy) → flag-combo
+    counts, 2 exchanges instead of 11)."""
     ev = load(spark, sf_dir, "events")
     clickers = ev.filter(F.col("event_type") == "click").select("user_id")
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")

@@ -191,7 +191,11 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeding — no stored model, same rule in the oracle; the count() is a
     metadata-only scan). Scale shape: the K-row centroid table
     broadcasts; assignment is one scan, no shuffle until the per-cell
-    aggregate."""
+    aggregate. The declarative argmax (explode × K + window) keeps the
+    plan exactly oracle-comparable; a 100 TB run would swap the
+    assignment stage for a pandas-UDF argmax over the broadcast
+    centroid matrix (BLAS, no n×K row materialization) at the cost of
+    float-summation-order divergence from pure SQL."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
