@@ -42,3 +42,13 @@ def test_lpt_more_bins_than_splits_collapses():
 def test_lpt_deterministic():
     splits = [(f"s{i}.parquet", i % 3, (i + 1) * 10**5, i + 1) for i in range(20)]
     assert _lpt_pack(splits, 7) == _lpt_pack(splits, 7)
+
+
+def test_parse_size_bytes_and_scan_estimate():
+    from ocr_service_spark.ops import parse_size_bytes
+
+    assert parse_size_bytes("16m") == 16 << 20
+    assert parse_size_bytes("128k") == 128 << 10
+    assert parse_size_bytes("1g") == 1 << 30
+    assert parse_size_bytes("134217728") == 128 << 20
+    assert parse_size_bytes("16MB") == 16 << 20  # case/suffix-insensitive
