@@ -290,6 +290,8 @@ def minmax_normalize(img: np.ndarray) -> np.ndarray:
     lo, hi = int(img.min()), int(img.max())
     if hi <= lo:
         return np.zeros_like(img)
+    if lo == 0 and hi == 255:
+        return img  # already full-range (every binary threshold output)
     f = img.astype(np.float32)
     out = (f - np.float32(lo)) * (255.0 / (hi - lo))
     return np.rint(out, out=out).astype(np.uint8)
