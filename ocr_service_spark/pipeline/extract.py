@@ -47,7 +47,8 @@ _MEDIA_RESULT_SCHEMA = (
     "kernel_ms_p50 double, kernel_ms_max double, "
     "status string, engine string, confidence double, "
     "used_preprocessed boolean, qr_data string, qr_format string, "
-    "found_in_preprocessed boolean, error string, processing_ms double"
+    "found_in_preprocessed boolean, error string, processing_ms double, "
+    "attempt_number int"
 )
 
 
@@ -133,11 +134,12 @@ def _textual_branch(spans: DataFrame) -> DataFrame:
 _DETAIL_KEYS = (
     "status", "engine", "confidence", "used_preprocessed", "qr_data",
     "qr_format", "found_in_preprocessed", "error", "processing_ms",
+    "attempt_number",
 )
 
 
-def _append_detail(details: dict, res: dict, ms: float) -> None:
-    qr_loc = res.get("qr_location")  # typed struct omitted from the flat record
+def _append_detail(details: dict, res: dict, ms: float, attempt: int) -> None:
+    # (qr_location's typed struct is omitted from this flat record)
     details["status"].append(res.get("status"))
     details["engine"].append(res.get("engine"))
     c = res.get("confidence")
@@ -148,6 +150,9 @@ def _append_detail(details: dict, res: dict, ms: float) -> None:
     details["found_in_preprocessed"].append(res.get("found_in_preprocessed"))
     details["error"].append(res.get("error"))
     details["processing_ms"].append(round(ms, 3))
+    # task attempt (1-based): spark.task.maxFailures is the BullMQ-retry
+    # analog, and the attempt lands in the record like schema.ts:53
+    details["attempt_number"].append(attempt)
 
 
 def _make_media_fn(cfg: ExtractConfig):
@@ -161,7 +166,9 @@ def _make_media_fn(cfg: ExtractConfig):
     def media_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else -1
+        attempt = (ctx.attemptNumber() + 1) if ctx else 1
         n_blobs = 0
         ocr_chars = 0
         kernel_ms: list[float] = []
@@ -183,7 +190,7 @@ def _make_media_fn(cfg: ExtractConfig):
                 kernel_ms.append(ms)
                 kinds.append(res["kind"] if res["status"] == "completed" else "media_text")
                 texts.append(res.get("text"))
-                _append_detail(details, res, ms)
+                _append_detail(details, res, ms, attempt)
                 ocr_chars += len(res.get("text") or "")
             n_blobs += len(pdf)
             yield pd.DataFrame(
@@ -240,7 +247,9 @@ def _make_direct_media_fn(cfg: ExtractConfig):
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
-        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else -1
+        attempt = (ctx.attemptNumber() + 1) if ctx else 1
         n_blobs = 0
         ocr_chars = 0
         kernel_ms: list[float] = []
@@ -282,7 +291,7 @@ def _make_direct_media_fn(cfg: ExtractConfig):
                             res["kind"] if res["status"] == "completed" else "media_text"
                         )
                         texts.append(res.get("text"))
-                        _append_detail(details, res, ms)
+                        _append_detail(details, res, ms, attempt)
                         ocr_chars += len(res.get("text") or "")
                     n_blobs += len(refs)
                     yield pd.DataFrame(
@@ -608,7 +617,7 @@ def _media_branch(
     details = results.filter(F.col("row_type") == "span").select(
         "media_ref", "status", "kind", "text", "engine", "confidence",
         "used_preprocessed", "qr_data", "qr_format", "found_in_preprocessed",
-        "error", "processing_ms",
+        "error", "processing_ms", "attempt_number",
     )
     branch = media_spans.join(res_spans, "media_ref", "left").select(
         "doc_id",

@@ -82,6 +82,8 @@ def test_recognitions_table_written(spark, dataset, tmp_path):
         assert qr.filter(F.col("engine").isNotNull()).count() == 0  # short-circuit skipped OCR
     assert rec.filter(F.col("processing_ms").isNull()).count() == 0
     assert rec.select("run_id").distinct().collect()[0][0] == "rec"
+    # healthy run: every record from a first task attempt (schema.ts:53)
+    assert rec.filter(F.col("attempt_number") != 1).count() == 0
 
 
 def test_recognitions_no_duplicates_on_partial_resume(spark, dataset, tmp_path):
