@@ -155,8 +155,11 @@ def warp_perspective(
         r1 = min(r0 + tile, h)
         ys = np.arange(r0, r1, dtype=np.float32)[:, None]
         den = m[2, 0] * xs + (m[2, 1] * ys + m[2, 2])
-        sx = (m[0, 0] * xs + (m[0, 1] * ys + m[0, 2])) / den
-        sy = (m[1, 0] * xs + (m[1, 1] * ys + m[1, 2])) / den
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # den==0 (horizon line of a degenerate quad) is handled by
+            # the NaN/clip guard below; silence the expected warnings
+            sx = (m[0, 0] * xs + (m[0, 1] * ys + m[0, 2])) / den
+            sy = (m[1, 0] * xs + (m[1, 1] * ys + m[1, 2])) / den
         # NaN/inf guard: a near-degenerate quad puts the horizon line
         # (den≈0) inside the frame; clip handles ±inf but NaN would
         # survive into the int cast as INT_MIN
