@@ -118,6 +118,18 @@ def test_flood_fill_matches_reference_bfs(kind):
     np.testing.assert_array_equal(fast, ref)
 
 
+def test_flood_fill_matches_reference_large_frontier():
+    # frontiers in the thousands exercise the speculative scan's grown
+    # (4096-element) blocks and the r^-4095 closed-form magnitudes —
+    # the small fuzz images never reach them
+    rng = np.random.default_rng(99)
+    img = rng.normal(190, 10, (400, 300)).clip(0, 255).astype(np.uint8)
+    seed = align.find_best_seed_point(img)
+    np.testing.assert_array_equal(
+        align.flood_fill(img, seed), align.flood_fill_reference(img, seed)
+    )
+
+
 def test_flood_fill_confined_to_tolerance_region():
     img = _receipt()
     seed = align.find_best_seed_point(img)
