@@ -22,6 +22,7 @@ SKIP = {
     # single-plan auditable this way
     "windowed_event_counts",
     "windowed_counts_append",
+    "session_windows",
     "stateful_session_counts",
     "extract_pipeline",
     "media_metadata",
