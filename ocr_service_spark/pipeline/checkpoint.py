@@ -22,6 +22,12 @@ from pyspark.sql.utils import AnalysisException
 from ..config import ExtractConfig
 from .extract import release_persisted, run_extract
 
+# Size n_buckets so each bucket holds at least a few hundred documents:
+# buckets are the resume granularity AND the output partition count, so
+# oversizing trades small-file overhead for finer resume (measured here:
+# 8000 docs at 512 buckets ran ~35% slower than at 64 purely on
+# partitioned-write overhead). At 10^12 docs, thousands of buckets keep
+# both resume granularity and file sizes sane.
 DEFAULT_BUCKETS = 64
 
 
