@@ -462,6 +462,33 @@ SELECT (SELECT count(*) FROM (
 """
 
 
+# --- ntile quartiles (window-function class beyond row_number/lag/sum) --------
+def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quartiles via ntile(4): count plus value
+    range of each quartile bucket (deterministic tie-break on event_id)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("q", F.ntile(4).over(w))
+        .groupBy("event_type", "q")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+_ORACLE_QUARTILES = """
+SELECT event_type, q, count(*) AS n,
+       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM (SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS q
+      FROM events)
+GROUP BY event_type, q
+"""
+
+
 # --- exact percentiles --------------------------------------------------------
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type
@@ -633,6 +660,7 @@ QUERIES = {
     "order_priority_cube": q_order_priority_cube,
     "user_set_ops": q_user_set_ops,
     "value_percentiles": q_value_percentiles,
+    "value_quartiles": q_value_quartiles,
     "user_event_pivot": q_user_event_pivot,
     "range_join_event_pairs": q_range_join_event_pairs,
     "kmv_distinct_estimate": q_kmv_distinct_estimate,
@@ -654,6 +682,7 @@ ORACLES = {
     "order_priority_cube": _ORACLE_CUBE,
     "user_set_ops": _ORACLE_SETOPS,
     "value_percentiles": _ORACLE_PERCENTILES,
+    "value_quartiles": _ORACLE_QUARTILES,
     "user_event_pivot": _ORACLE_PIVOT,
     "range_join_event_pairs": _ORACLE_RANGE,
     "kmv_distinct_estimate": _ORACLE_KMV,
