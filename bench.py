@@ -42,7 +42,8 @@ HEADLINE = [
     "embedding_neardup",
     "knn_bruteforce",
     "ann_lsh_probe",
-    "ann_ivf_probe",
+    "ann_ivf_cells",  # index build (persists the assignment) ...
+    "ann_ivf_probe",  # ... then the probe scans the in-memory index
     "sessionization",
     "event_props_json",
     "asof_last_order",
@@ -127,13 +128,26 @@ def main() -> int:
     timings["extract_pipeline"] = round(extract_wall, 3)
 
     total = round(sum(timings.values()), 3)
-    # N vs 4N scaling evidence (tools/bench_scaling.py refreshes this file;
-    # embedded so BENCH_r{N}.json carries the north-rule efficiency number)
-    scaling = None
+    # N vs 4N scaling evidence (tools/bench_scaling.py refreshes this file).
+    # Only the HEADLINE numbers are embedded in the printed line: the
+    # driver's stdout-tail capture is ~2000 chars and round 2's full
+    # embedded sweep pushed the line past it, truncating the JSON
+    # mid-string ("parsed": null). Full detail goes to BENCH_result.json.
+    scaling_full = None
     scaling_path = os.path.join(REPO, "BENCH_scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as fh:
-            scaling = json.load(fh)
+            scaling_full = json.load(fh)
+    scaling = None
+    if scaling_full:
+        scaling = {
+            "pair": scaling_full.get("headline_pair"),
+            "raw": scaling_full.get("scaling_efficiency_docs"),
+            "smt_ceiling": scaling_full.get("smt_ceiling"),
+            "normalized": scaling_full.get("scaling_efficiency_normalized"),
+            "physical_4_to_16": scaling_full.get("physical_regime_efficiency"),
+            "passes": scaling_full.get("passes"),
+        }
     result = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -151,7 +165,18 @@ def main() -> int:
         "cpus": int(cpus),
         "scaling": scaling,
     }
-    print(json.dumps(result))
+    # full-fidelity copy (incl. the complete scaling sweep) on disk so the
+    # compact stdout line never has to carry it
+    full = dict(result)
+    full["scaling"] = scaling_full
+    with open(os.path.join(REPO, "BENCH_result.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail window
+        result["scaling"] = None
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
+    sys.stdout.flush()
     spark.stop()
     return 0
 

@@ -101,7 +101,7 @@ def _make_pdf_span(rng: np.random.Generator) -> str:
 
 def _make_media_blob(
     rng: np.random.Generator, idx: int, heavy: bool, scale: int = 1
-) -> bytes:
+) -> tuple[bytes, dict]:
     side = int(rng.integers(384, 768)) if heavy else int(rng.integers(48, 160))
     # media_scale > 1 → receipt-photo-sized images for benchmarking (the
     # preprocessing kernels cost ~linear in pixels, like real OCR); cap so
@@ -153,7 +153,15 @@ def _make_media_blob(
         # per-request alignmentMode='classic' (recognize.ts:21-28) —
         # keeps the classic P3-P8 chain exercised end-to-end
         meta["mode"] = "classic"
-    return encode_simg(meta, pixels)
+    # ground truth captured at generation time (pre-encode): independent
+    # oracle values for the multimodal decode kernels (media_metadata)
+    truth = {
+        "width": w,
+        "height": h,
+        "mean_brightness": round(float(pixels.mean()), 4),
+        "n_pixels": int(pixels.size),
+    }
+    return encode_simg(meta, pixels), truth
 
 
 def generate(
@@ -167,7 +175,7 @@ def generate(
     rng = np.random.default_rng(seed)
 
     doc_ids, doc_spans = [], []
-    media_refs, media_blobs = [], []
+    media_refs, media_blobs, media_truth = [], [], []
     golden_rows = []
     media_lookup: dict[str, bytes] = {}
     media_idx = 0
@@ -197,9 +205,10 @@ def generate(
             offset = int(offsets[slot])
             if kind == "media":
                 ref = f"mem://img/{seed}/{media_idx:08d}"
-                blob = _make_media_blob(rng, media_idx, heavy, media_scale)
+                blob, truth = _make_media_blob(rng, media_idx, heavy, media_scale)
                 media_refs.append(ref)
                 media_blobs.append(blob)
+                media_truth.append(truth)
                 media_lookup[ref] = blob
                 media_idx += 1
                 spans.append({"kind": "media", "text": None, "media_ref": ref, "offset": offset})
@@ -233,10 +242,25 @@ def generate(
         {"doc_id": pa.array(doc_ids, pa.string()), "spans": pa.array(golden_rows, pa.list_(out_span_t))}
     )
 
+    truth_tbl = pa.table(
+        {
+            "media_ref": pa.array(media_refs, pa.string()),
+            "width": pa.array([t["width"] for t in media_truth], pa.int32()),
+            "height": pa.array([t["height"] for t in media_truth], pa.int32()),
+            "mean_brightness": pa.array(
+                [t["mean_brightness"] for t in media_truth], pa.float64()
+            ),
+            "n_pixels": pa.array([t["n_pixels"] for t in media_truth], pa.int64()),
+            "codec": pa.array(["simg"] * len(media_truth), pa.string()),
+            "file_size": pa.array([len(b) for b in media_blobs], pa.int32()),
+        }
+    )
+
     paths = {
         "documents": os.path.join(out_dir, "documents.parquet"),
         "media": os.path.join(out_dir, "media.parquet"),
         "golden": os.path.join(out_dir, "golden.parquet"),
+        "media_truth": os.path.join(out_dir, "media_truth.parquet"),
     }
     # small row groups → the files are splittable into parallel scan tasks,
     # matching how a production table arrives (many files/row groups); a
@@ -244,6 +268,7 @@ def generate(
     pq.write_table(docs_tbl, paths["documents"], row_group_size=256)
     pq.write_table(media_tbl, paths["media"], row_group_size=16)
     pq.write_table(golden_tbl, paths["golden"], row_group_size=256)
+    pq.write_table(truth_tbl, paths["media_truth"], row_group_size=256)
     # split manifest for the media table: O(1) driver-side split planning
     # (the parquet-side analog of Iceberg manifests)
     from .pipeline.extract import write_split_manifest
@@ -258,12 +283,14 @@ def ensure_dataset(
     """Generate once, reuse across test sessions (content is a pure
     function of (n_docs, seed), so presence implies validity)."""
     # marker version bumps force regeneration when generated content
-    # changes (v3: small row groups; v4: per-blob alignment modes)
-    marker = os.path.join(out_dir, f".complete-v4-{n_docs}-{seed}-{media_scale}")
+    # changes (v3: small row groups; v4: per-blob alignment modes;
+    # v5: media_truth ground-truth sidecar)
+    marker = os.path.join(out_dir, f".complete-v5-{n_docs}-{seed}-{media_scale}")
     paths = {
         "documents": os.path.join(out_dir, "documents.parquet"),
         "media": os.path.join(out_dir, "media.parquet"),
         "golden": os.path.join(out_dir, "golden.parquet"),
+        "media_truth": os.path.join(out_dir, "media_truth.parquet"),
     }
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
         return paths

@@ -237,6 +237,100 @@ def audio_features(audio: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# ground truth for the synthetic media tables: re-derived driver-side from
+# the generator parameters WITHOUT the SVID/SAUD codecs or Spark — so a
+# green oracle row validates encode → decode → kernel → mapInPandas
+# plumbing end-to-end against independently computed values.
+# --------------------------------------------------------------------------
+
+
+def video_truth_rows(n: int = 48) -> list[tuple]:
+    """Expected (media_ref, frame_idx, mean_brightness, frame_md5) for
+    synthetic_videos(n) → video_frame_sample, computed from the rng spec."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(7000 + i)
+        nf = int(rng.integers(4, 13))
+        frames = rng.integers(0, 256, size=(nf, 24, 32), dtype=np.uint8)
+        for idx in range(0, nf, FRAME_STRIDE):
+            f = frames[idx]
+            rows.append(
+                (f"mem://vid/{i:06d}", idx, round(float(f.mean()), 4),
+                 hashlib.md5(f.tobytes()).hexdigest())
+            )
+    return rows
+
+
+def audio_truth_rows(n: int = 64) -> list[tuple]:
+    """Expected (media_ref, duration_sec, rms, zero_crossing_rate) for
+    synthetic_audio(n) → audio_features, from the rng spec + feature
+    formulas (no SAUD roundtrip)."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(9000 + i)
+        sr = 8000
+        n_samp = int(rng.integers(sr // 2, sr * 3))
+        t = np.arange(n_samp, dtype=np.float64)
+        freq = float(rng.uniform(80, 800))
+        wave = 0.5 * np.sin(2 * np.pi * freq * t / sr)
+        wave += rng.normal(0, 0.05, n_samp)
+        samples = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        x = samples.astype(np.float64) / 32768.0
+        zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+        rows.append(
+            (f"mem://aud/{i:06d}",
+             round(len(x) / sr, 4),
+             round(float(np.sqrt(np.mean(x * x))), 6),
+             round(zc, 6))
+        )
+    return rows
+
+
+def ensure_av_truth(out_dir: str) -> dict[str, str]:
+    """Write video/audio ground-truth parquet (idempotent) for the DuckDB
+    oracles of the rows-only kernels."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        "video": os.path.join(out_dir, "video_truth.parquet"),
+        "audio": os.path.join(out_dir, "audio_truth.parquet"),
+    }
+    if not os.path.exists(paths["video"]):
+        vr = video_truth_rows()
+        pq.write_table(
+            pa.table(
+                {
+                    "media_ref": pa.array([r[0] for r in vr], pa.string()),
+                    "frame_idx": pa.array([r[1] for r in vr], pa.int32()),
+                    "mean_brightness": pa.array([r[2] for r in vr], pa.float64()),
+                    "frame_md5": pa.array([r[3] for r in vr], pa.string()),
+                }
+            ),
+            paths["video"],
+        )
+    if not os.path.exists(paths["audio"]):
+        ar = audio_truth_rows()
+        pq.write_table(
+            pa.table(
+                {
+                    "media_ref": pa.array([r[0] for r in ar], pa.string()),
+                    "duration_sec": pa.array([r[1] for r in ar], pa.float64()),
+                    "rms": pa.array([r[2] for r in ar], pa.float64()),
+                    "zero_crossing_rate": pa.array([r[3] for r in ar], pa.float64()),
+                }
+            ),
+            paths["audio"],
+        )
+    return paths
+
+
 def media_size_stats(media: DataFrame) -> DataFrame:
     """Byte-size distribution of the blob store (native columns only)."""
     return media.agg(

@@ -6,6 +6,11 @@ values (floats compared exactly after the queries' own rounding — if
 this mirror passes, the driver's value-hash comparison should too).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --verify-report CORRECTNESS_rNN.json
+
+--verify-report asserts every registered query has a row in the driver's
+correctness file (round-2 lesson: the driver reported exactly 50 of 51
+registered queries, silently dropping the last registry entry).
 """
 
 from __future__ import annotations
@@ -111,7 +116,29 @@ def run_checks(spark, sf_dir: str, only: set[str] | None = None) -> list[str]:
     return failures
 
 
+def verify_report(path: str) -> int:
+    """Completeness gate: every queries() entry must appear in the
+    driver's CORRECTNESS report; a dropped query is loud, not silent."""
+    import json
+
+    import __spark_entry__ as entrymod
+
+    with open(path) as fh:
+        reported = set(json.load(fh).keys())
+    registered = set(entrymod.queries().keys())
+    missing = sorted(registered - reported)
+    extra = sorted(reported - registered)
+    print(f"registered={len(registered)} reported={len(reported)}")
+    if missing:
+        print(f"MISSING from report: {missing}")
+    if extra:
+        print(f"reported but not registered (renamed/stale?): {extra}")
+    return 1 if missing else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 2 and sys.argv[1] == "--verify-report":
+        return verify_report(sys.argv[2])
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:]) or None
 
