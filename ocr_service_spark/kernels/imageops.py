@@ -265,12 +265,20 @@ def adaptive_threshold_gaussian(
 
 
 def _morph2x2(mask: np.ndarray, op: str) -> np.ndarray:
-    """2×2 rect-kernel dilate/erode with cv2's anchor convention for even
-    kernels (anchor (0,0) → offsets {0,1}²) and default border values
-    (-inf for dilate, +inf for erode → pad 0 / 255)."""
-    pad_val = 0 if op == "dilate" else 255
-    p = np.pad(mask, ((0, 1), (0, 1)), mode="constant", constant_values=pad_val)
-    fn = np.maximum if op == "dilate" else np.minimum
+    """2×2 rect-kernel dilate/erode with cv2's default even-kernel anchor
+    (ksize/2 = (1,1)) and border values (-inf for dilate, +inf for erode
+    → pad 0 / 255). Per the OpenCV erode/dilate formulas the kernel is
+    MIRRORED for dilation: dilate offsets are {anchor−x'} = {0,1}²,
+    erode offsets are {x'−anchor} = {−1,0}² — so close = dilate∘erode is
+    spatially unshifted, matching cv2.morphologyEx(MORPH_CLOSE). (Using
+    {0,1}² for both — the pre-round-3 behavior — shifted the closed mask
+    one pixel up-left.)"""
+    if op == "dilate":
+        p = np.pad(mask, ((0, 1), (0, 1)), mode="constant", constant_values=0)
+        fn = np.maximum
+    else:
+        p = np.pad(mask, ((1, 0), (1, 0)), mode="constant", constant_values=255)
+        fn = np.minimum
     out = fn(p[:-1, :-1], p[:-1, 1:])
     out = fn(out, p[1:, :-1], out=out)
     return fn(out, p[1:, 1:], out=out)

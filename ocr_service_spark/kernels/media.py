@@ -401,9 +401,12 @@ def decode_real_image(blob: bytes) -> np.ndarray:
 class RealRecognizer:
     """Recognizer over real image bytes: dispatches each cascade attempt
     to the executor-singleton engine adapters. Same contract as
-    StubRecognizer (meta is unused — real engines read pixels)."""
+    StubRecognizer (meta is unused — real engines read pixels).
+    use_watchdog: native engine calls can hang without observing the
+    soft deadline, so the cascade runs them under a per-call budget."""
 
     name = "real"
+    use_watchdog = True
 
     def recognize(
         self, meta: dict, image: np.ndarray, engine: str, variant: str
@@ -415,6 +418,40 @@ class RealRecognizer:
 # per-image extraction (the whole worker hot path, pure)
 # --------------------------------------------------------------------------
 
+
+class EngineTimeoutError(RuntimeError):
+    """A single engine call exceeded its share of the soft budget."""
+
+
+def _call_with_budget(fn, budget_s: float, *args):
+    """Run ``fn(*args)`` on a daemon watchdog thread and give up after
+    ``budget_s`` — the per-CALL analog of the reference's
+    asyncio.wait_for(OCR_ENGINE_TIMEOUT) (processor.ts:424-441 via
+    config/index.ts:24). A hung native call (tesseract/paddle C code
+    ignores Python-level deadlines) is abandoned: its daemon thread
+    lingers but the task completes; spark.task.reaper remains the hard
+    backstop for a worker wedged beyond even that."""
+    import threading
+
+    out: list = []
+    err: list = []
+
+    def runner():
+        try:
+            out.append(fn(*args))
+        except Exception as exc:  # propagated to the caller below
+            err.append(exc)
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    t.join(budget_s)
+    if t.is_alive():
+        raise EngineTimeoutError(f"engine call exceeded {budget_s:.1f}s budget")
+    if err:
+        raise err[0]
+    return out[0]
+
+
 def run_cascade(
     meta: dict,
     warped: np.ndarray,
@@ -422,20 +459,37 @@ def run_cascade(
     confidence_low: float,
     recognizer: StubRecognizer,
     attempts: tuple[tuple[str, str], ...] = CASCADE_ATTEMPTS,
+    deadline: float | None = None,
 ) -> EngineResult:
     """Confidence-gated engine cascade (processor.ts:366-477): accept the
     first attempt with confidence >= threshold_low; an attempt that
     RAISES counts as an engine failure and the cascade moves on
     (processor.ts:424-441); if all attempts are below the gate, return
     the LAST completed attempt's (low-confidence) result
-    (processor.ts:443-474); if every attempt raised, raise."""
+    (processor.ts:443-474); if every attempt raised, raise.
+
+    Recognizers with ``use_watchdog`` (the real-library adapters — a
+    hung image_to_data/predict call can't observe the soft deadline)
+    run each attempt under _call_with_budget for the REMAINING soft
+    budget; a timed-out attempt counts as an engine failure."""
+    import time as _time
+
     last: EngineResult | None = None
     last_err: Exception | None = None
+    watchdog = getattr(recognizer, "use_watchdog", False) and deadline is not None
     for engine, variant in attempts:
         img = preprocessed if variant == "preprocessed" else warped
         try:
-            text, conf = recognizer.recognize(meta, img, engine, variant)
-        except Exception as exc:  # engine failure → next attempt
+            if watchdog:
+                budget = deadline - _time.monotonic()
+                if budget <= 0:
+                    raise EngineTimeoutError("soft budget exhausted before attempt")
+                text, conf = _call_with_budget(
+                    recognizer.recognize, budget, meta, img, engine, variant
+                )
+            else:
+                text, conf = recognizer.recognize(meta, img, engine, variant)
+        except Exception as exc:  # engine failure/timeout → next attempt
             last_err = exc
             continue
         last = EngineResult(text, conf, engine, variant == "preprocessed")
@@ -582,7 +636,10 @@ def extract_media_span(
             "text": None,
         }
     try:
-        res = run_cascade(meta, warped, preprocessed, confidence_low, recognizer)
+        res = run_cascade(
+            meta, warped, preprocessed, confidence_low, recognizer,
+            deadline=deadline,
+        )
     except Exception as exc:  # all attempts raised → markAsFailed analog
         return {
             "status": "failed",

@@ -419,6 +419,7 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # level per iteration, and analysis cost alone goes superlinear.
     # Checkpointing truncates the plan to the materialized partitions.
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             sym.join(labels, sym.d2 == labels.node)
@@ -444,6 +445,15 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > CC_MAX_ITERS would silently return
+        # partial labels (diverging from the recursive-CTE oracle) — fail
+        # loudly instead; hash-to-min converges in O(diameter) rounds, so
+        # hitting this means the cap needs raising for this graph
+        raise RuntimeError(
+            f"connected components did not converge within {CC_MAX_ITERS} "
+            "label-propagation iterations (graph diameter exceeds the cap)"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
     out = sizes.groupBy("size").agg(F.count("*").alias("n_components"))
     result = out.persist()

@@ -33,19 +33,30 @@ def _windowed_agg(df: DataFrame) -> DataFrame:
     )
 
 
+def stage_fingerprint(src: str) -> str:
+    """Cache key for a staged copy of ``src``: path PLUS size and mtime,
+    so a regenerated table at the same path gets a fresh stage directory
+    instead of silently streaming stale data."""
+    import hashlib
+    import os
+
+    st = os.stat(src)
+    return hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+
+
 def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table (FileStreamSource requires a
     directory — stage the single parquet file once)."""
     schema = load(spark, sf_dir, "events").schema
-    import hashlib
     import shutil
     import tempfile
     import os
 
     src = table_path(sf_dir, "events")
     stage = os.path.join(
-        tempfile.gettempdir(),
-        f"stream-events-{hashlib.md5(src.encode()).hexdigest()[:12]}",
+        tempfile.gettempdir(), f"stream-events-{stage_fingerprint(src)}"
     )
     os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "events.parquet")
@@ -173,15 +184,13 @@ def _staged_two_batch_stream(spark: SparkSession, sf_dir: str):
     second-batch events older than max(first batch ts) − 10 min are LATE
     and get dropped in append mode — deterministically, because the
     split rule is a pure function of the data."""
-    import hashlib
     import os
     import tempfile
 
     src = table_path(sf_dir, "events")
     batch = load(spark, sf_dir, "events")
     stage = os.path.join(
-        tempfile.gettempdir(),
-        f"stream-events-2b-{hashlib.md5(src.encode()).hexdigest()[:12]}",
+        tempfile.gettempdir(), f"stream-events-2b-{stage_fingerprint(src)}"
     )
     if not os.path.exists(os.path.join(stage, "b1.parquet")):
         os.makedirs(stage, exist_ok=True)
@@ -312,7 +321,7 @@ FROM s GROUP BY user_id, sid
 SESSION_GAP_S = 1800
 
 
-def q_stateful_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stateful_session_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization as a CUSTOM STATEFUL streaming operator:
     ``applyInPandasWithState`` keeps (n_sessions, n_events, last_ts) per
     user across micro-batches — the Structured Streaming form of the
@@ -320,7 +329,19 @@ def q_stateful_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's extension point for stateful operators Spark lacks.
 
     Result equals the batch/window sessionization (same DuckDB oracle
-    shape): update-mode output, last row per user wins."""
+    shape): update-mode output, last row per user wins.
+
+    State is EVICTED by event time: each update arms an
+    ``EventTimeTimeout`` at last_ts + gap; once the watermark passes it
+    (the session can no longer be extended — any later on-time event
+    would be > gap away and open a NEW session), the group emits its
+    final totals and ``state.remove()``s itself. Without this the
+    per-user state lives forever — an unbounded leak on a production
+    stream with an unbounded key space. Correctness note: an evicted
+    user's later events would restart the cumulative counts; that
+    cannot happen here because eviction requires the watermark to pass
+    last_ts + gap, and groups with data in a batch are processed as
+    data (hasTimedOut is only set for groups WITHOUT new rows)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
@@ -341,6 +362,15 @@ def q_stateful_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: the session is closed for
+            # good — emit the final totals and free the state
+            n_sessions, n_events, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+            )
+            return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         ts = rows["ts"].astype("int64") / 1e9  # epoch seconds
@@ -354,15 +384,28 @@ def q_stateful_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_starts += 1  # the batch's first event opens a session
         n_sessions += new_starts
         n_events += len(rows)
-        state.update((n_sessions, n_events, float(ts.iloc[-1])))
+        new_last = float(ts.iloc[-1])
+        state.update((n_sessions, n_events, new_last))
+        # arm the eviction clock: expire once the watermark passes the
+        # point where this session could still be extended (must stay
+        # strictly ahead of the current watermark per the API contract)
+        state.setTimeoutTimestamp(
+            max(int(new_last * 1000) + SESSION_GAP_S * 1000,
+                state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
         )
 
-    stream = _staged_events_stream(spark, sf_dir)
-    stateful = stream.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    stream = _staged_events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def q_stateful_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain stateful_session_frame and keep each user's final totals."""
+    stateful = stateful_session_frame(spark, sf_dir)
     out = _drain_to_df(spark, stateful, "stateful_session_sink", "update")
     # update mode re-emits a row per user per batch; keep the final one
     from pyspark.sql import Window as W

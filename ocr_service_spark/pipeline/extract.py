@@ -47,6 +47,7 @@ _MEDIA_RESULT_SCHEMA = (
     "kernel_ms_p50 double, kernel_ms_max double, "
     "status string, engine string, confidence double, "
     "used_preprocessed boolean, qr_data string, qr_format string, "
+    "qr_location struct<x:int,y:int,width:int,height:int>, "
     "found_in_preprocessed boolean, error string, processing_ms double, "
     "attempt_number int"
 )
@@ -133,13 +134,12 @@ def _textual_branch(spans: DataFrame) -> DataFrame:
 # per-blob recognition detail columns (recognition_results analog)
 _DETAIL_KEYS = (
     "status", "engine", "confidence", "used_preprocessed", "qr_data",
-    "qr_format", "found_in_preprocessed", "error", "processing_ms",
-    "attempt_number",
+    "qr_format", "qr_location", "found_in_preprocessed", "error",
+    "processing_ms", "attempt_number",
 )
 
 
 def _append_detail(details: dict, res: dict, ms: float, attempt: int) -> None:
-    # (qr_location's typed struct is omitted from this flat record)
     details["status"].append(res.get("status"))
     details["engine"].append(res.get("engine"))
     c = res.get("confidence")
@@ -147,6 +147,9 @@ def _append_detail(details: dict, res: dict, ms: float, attempt: int) -> None:
     details["used_preprocessed"].append(res.get("used_preprocessed"))
     details["qr_data"].append(res.get("qr_data"))
     details["qr_format"].append(res.get("qr_format"))
+    # the typed {x,y,width,height} struct the reference persists as
+    # jsonb (schema.ts:48) — dict → Arrow struct in the batch transfer
+    details["qr_location"].append(res.get("qr_location"))
     details["found_in_preprocessed"].append(res.get("found_in_preprocessed"))
     details["error"].append(res.get("error"))
     details["processing_ms"].append(round(ms, 3))
@@ -616,8 +619,8 @@ def _media_branch(
     # schema.ts:31-58) — written by run_resumable as recognitions/
     details = results.filter(F.col("row_type") == "span").select(
         "media_ref", "status", "kind", "text", "engine", "confidence",
-        "used_preprocessed", "qr_data", "qr_format", "found_in_preprocessed",
-        "error", "processing_ms", "attempt_number",
+        "used_preprocessed", "qr_data", "qr_format", "qr_location",
+        "found_in_preprocessed", "error", "processing_ms", "attempt_number",
     )
     branch = media_spans.join(res_spans, "media_ref", "left").select(
         "doc_id",

@@ -83,12 +83,13 @@ def write_output(
     if not spark.catalog.tableExists(full):
         output_b.writeTo(full).partitionedBy("bucket").create()
     else:
-        # idempotent bucket re-run: replace the bucket's rows atomically
-        output_b.createOrReplaceTempView("_new_output")
-        spark.sql(
-            f"DELETE FROM {full} WHERE bucket IN (SELECT DISTINCT bucket FROM _new_output)"
-        )
-        output_b.writeTo(full).append()
+        # idempotent bucket re-run: overwritePartitions replaces exactly
+        # the partitions present in output_b in ONE Iceberg commit —
+        # concurrent readers see either the old or the new bucket rows,
+        # never a bucket mid-replace, and a crash leaves the previous
+        # snapshot intact (a separate DELETE + append would be two
+        # commits with a deleted-but-unwritten window between them)
+        output_b.writeTo(full).overwritePartitions()
 
 
 def merge_checkpoint(

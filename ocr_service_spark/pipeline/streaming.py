@@ -55,16 +55,17 @@ def _staged_docs_stream(
     maxFilesPerTrigger=1 makes each file its own micro-batch — the
     multi-batch arrival shape."""
     import glob
-    import hashlib
     import os
     import shutil
     import tempfile
+
+    from ..ops.streaming import stage_fingerprint
 
     src = f"{data_dir}/documents.parquet"
     batch_docs = spark.read.parquet(src)
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"stream-docs-{n_parts}-{hashlib.md5(src.encode()).hexdigest()[:12]}",
+        f"stream-docs-{n_parts}-{stage_fingerprint(src)}",
     )
     if not glob.glob(os.path.join(stage, "part-*.parquet")):
         os.makedirs(stage, exist_ok=True)
@@ -128,7 +129,21 @@ def extract_stream_to_files(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        output, _metrics = run_extract(spark, batch_df, media, cfg)
+        # only OCR the blobs THIS batch references: without the semi-join
+        # every micro-batch would extract the full static media table and
+        # discard the unmatched rows in the span join — n batches × full-
+        # corpus OCR. The broadcast semi-join prunes the blob scan to the
+        # batch's refs (at catalog scale the same predicate pushes into
+        # the Iceberg scan); the media frame stops being a bare file scan,
+        # so the branch takes the declarative Arrow path per batch.
+        refs = (
+            batch_df.select(F.explode("spans").alias("s"))
+            .select(F.col("s.media_ref").alias("media_ref"))
+            .filter(F.col("media_ref").isNotNull())
+            .distinct()
+        )
+        batch_media = media.join(F.broadcast(refs), "media_ref", "left_semi")
+        output, _metrics = run_extract(spark, batch_df, batch_media, cfg)
         (
             output.withColumn("batch_id", F.lit(batch_id))
             .withColumn("bucket", bucket_expr(n_buckets))

@@ -104,11 +104,17 @@ def test_adaptive_threshold_gaussian_aggressive_profile():
 
 
 def test_morph_close_2x2_and_open_1x1():
-    # close bridges a 1-px gap with cv2's (0,0)-anchored even kernel
+    # close bridges a 1-px gap with cv2's (1,1)-anchored even kernel
     m = np.full((6, 6), 255, np.uint8)
     m[3, 3] = 0
     closed = imageops.morph_close_2x2(m)
     assert closed[3, 3] == 255
+    # close is spatially UNSHIFTED (cv2 parity: dilate mirrors the
+    # kernel, erode doesn't, so the two passes cancel): a lone white
+    # pixel survives closing in place
+    p = np.zeros((6, 6), np.uint8)
+    p[2, 2] = 255
+    np.testing.assert_array_equal(imageops.morph_close_2x2(p), p)
     # open with 1×1 kernel is the identity (aggressive profile no-op)
     rng = np.random.default_rng(1)
     x = (rng.random((8, 8)) > 0.5).astype(np.uint8) * 255

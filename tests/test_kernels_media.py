@@ -183,3 +183,48 @@ def test_extract_media_aggressive_profile_same_text():
     aggressive = extract_media_span(_blob(), 0.6, None, aggressive=True)
     assert gentle["text"] == aggressive["text"]
     assert gentle["status"] == aggressive["status"] == "completed"
+
+
+def test_hung_engine_call_fails_within_budget():
+    """A single engine call that HANGS (native code can't observe the
+    soft deadline) must be abandoned by the per-call watchdog and the
+    span completed as failed within the soft budget — not after the
+    120 s task reaper."""
+    import time
+
+    from ocr_service_spark.kernels.media import run_cascade
+
+    class HungRecognizer:
+        use_watchdog = True
+
+        def recognize(self, meta, image, engine, variant):
+            time.sleep(30)  # simulated wedged image_to_data/predict
+            return "never", 1.0
+
+    t0 = time.monotonic()
+    res = extract_media_span(
+        _blob(), 0.6, None, recognizer=HungRecognizer(), timeout_s=0.5
+    )
+    wall = time.monotonic() - t0
+    assert res["status"] == "failed"
+    assert "budget" in res["error"] or "timeout" in res["error"]
+    assert wall < 5.0  # bounded by the soft budget, not the sleep
+
+    # and a watchdogged engine that merely raises still cascades through
+    class FlakyFast:
+        use_watchdog = True
+
+        def __init__(self):
+            self.calls = 0
+
+        def recognize(self, meta, image, engine, variant):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("transient engine failure")
+            return "recovered", 0.9
+
+    import time as _t
+
+    r = run_cascade({}, np.zeros((8, 8), np.uint8), np.zeros((8, 8), np.uint8),
+                    0.6, FlakyFast(), deadline=_t.monotonic() + 10)
+    assert r.text == "recovered"

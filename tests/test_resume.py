@@ -80,6 +80,30 @@ def test_recognitions_table_written(spark, dataset, tmp_path):
     if qr.count():
         assert qr.filter(F.col("qr_data").isNull() | F.col("qr_format").isNull()).count() == 0
         assert qr.filter(F.col("engine").isNotNull()).count() == 0  # short-circuit skipped OCR
+        # qr_location {x,y,width,height} round-trips through the sink
+        # (reference persists it as jsonb, schema.ts:48) and matches the
+        # blob's embedded annotation
+        assert qr.filter(F.col("qr_location").isNull()).count() == 0
+        assert (
+            qr.filter(
+                (F.col("qr_location.width") <= 0) | (F.col("qr_location.height") <= 0)
+            ).count()
+            == 0
+        )
+        from ocr_service_spark.kernels.media import decode_simg
+
+        sample = qr.select("media_ref", "qr_location").limit(3).collect()
+        blobs = {
+            r["media_ref"]: bytes(r["content"])
+            for r in media.filter(
+                F.col("media_ref").isin([s["media_ref"] for s in sample])
+            ).collect()
+        }
+        for s in sample:
+            meta, _ = decode_simg(blobs[s["media_ref"]])
+            x, y, w, h = meta["qr"]["location"]
+            loc = s["qr_location"]
+            assert (loc["x"], loc["y"], loc["width"], loc["height"]) == (x, y, w, h)
     assert rec.filter(F.col("processing_ms").isNull()).count() == 0
     assert rec.select("run_id").distinct().collect()[0][0] == "rec"
     # healthy run: every record from a first task attempt (schema.ts:53)

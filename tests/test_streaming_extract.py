@@ -65,3 +65,47 @@ def test_streaming_file_sink_matches_golden(spark, dataset, tmp_path):
     assert set(got) == set(golden)
     mismatched = [d for d in golden if got[d] != golden[d]]
     assert mismatched == [], f"{len(mismatched)} docs mismatch, e.g. {mismatched[:3]}"
+
+
+def test_stateful_state_evicted_after_watermark(spark):
+    """The custom stateful operator must FREE per-user state once the
+    watermark passes last_ts + gap (EventTimeTimeout + remove): on the
+    replayed events table all users whose sessions closed before the
+    final watermark leave the state store, so state rows end well below
+    the user count instead of growing without bound."""
+    import json
+
+    from ocr_service_spark.ops.streaming import stateful_session_frame
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = stateful_session_frame(spark, sf_dir)
+    q = (
+        df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("evict_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progs = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+    totals = [
+        op["numRowsTotal"]
+        for p in progs
+        for op in (p.get("stateOperators") or [])
+    ]
+    removed = sum(
+        op["numRowsRemoved"]
+        for p in progs
+        for op in (p.get("stateOperators") or [])
+    )
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert max(totals) == n_users  # every user held state at the peak
+    assert removed > 0  # eviction actually fired
+    assert totals[-1] < n_users  # and the store drained
