@@ -67,13 +67,43 @@ MIN_ANGLE_DEG = 15.0  # aligner.py:320
 def gaussian_blur5(img: np.ndarray) -> np.ndarray:
     """5×5 Gaussian blur (common.py:23). cv2 with sigma=0 and ksize 5 uses
     the fixed binomial kernel [1,4,6,4,1]/16; separable integer arithmetic
-    with round-half-up and reflect-101 borders reproduces it exactly."""
+    with round-half-up and reflect-101 borders reproduces it exactly.
+
+    Row-tiled: full-frame int32 temporaries (3 × H×W×4 B) stream DRAM and
+    thrash the shared L3 when 32 workers run concurrently — the same
+    effect measured for the adaptive threshold (PLANS.md); bounded row
+    blocks keep every buffer ≲0.5 MiB so the separable passes stay
+    cache-resident. Output is byte-identical to the untiled form
+    (pinned by test_gaussian_blur5_tiling_invariant)."""
     k = np.array([1, 4, 6, 4, 1], dtype=np.int32)
-    p = np.pad(img.astype(np.int32), 2, mode="reflect")  # reflect == BORDER_REFLECT_101
-    # rows then cols; total scale 16*16=256, rounding +128 before shift
-    rows = sum(k[i] * p[:, i : i + img.shape[1]] for i in range(5))
-    both = sum(k[i] * rows[i : i + img.shape[0], :] for i in range(5))
-    return ((both + 128) >> 8).astype(np.uint8)
+    h, w = img.shape
+    if h < 8 or w < 8:  # tiny frames: np.pad reflect handles all edge cases
+        p = np.pad(img.astype(np.int32), 2, mode="reflect")
+        rows = sum(k[i] * p[:, i : i + w] for i in range(5))
+        both = sum(k[i] * rows[i : i + h, :] for i in range(5))
+        return ((both + 128) >> 8).astype(np.uint8)
+    out = np.empty((h, w), dtype=np.uint8)
+    block = max(16, (1 << 20) // (8 * (w + 4)))
+
+    def vreflect(idx: np.ndarray) -> np.ndarray:  # BORDER_REFLECT_101
+        idx = np.where(idx < 0, -idx, idx)
+        return np.where(idx >= h, 2 * h - 2 - idx, idx)
+
+    for r0 in range(0, h, block):
+        r1 = min(r0 + block, h)
+        src = img[vreflect(np.arange(r0 - 2, r1 + 2))].astype(np.int32)
+        src = np.pad(src, ((0, 0), (2, 2)), mode="reflect")
+        rows = k[0] * src[:, 0:w]
+        for i in range(1, 5):
+            rows += k[i] * src[:, i : i + w]
+        nb = r1 - r0
+        both = k[0] * rows[0:nb]
+        for i in range(1, 5):
+            both += k[i] * rows[i : i + nb]
+        both += 128
+        np.right_shift(both, 8, out=both)
+        out[r0:r1] = both.astype(np.uint8)
+    return out
 
 
 def clahe(img: np.ndarray, clip_limit: float = 1.5, grid: int = 8) -> np.ndarray:
@@ -110,34 +140,54 @@ def clahe(img: np.ndarray, clip_limit: float = 1.5, grid: int = 8) -> np.ndarray
                 np.rint(hist.cumsum() * scale), 0, 255
             ).astype(np.uint8)
 
-    # bilinear tile interpolation over the padded frame, then crop
-    ys = np.arange(ph, dtype=np.float32)
-    xs = np.arange(pw, dtype=np.float32)
+    # bilinear tile interpolation. Only the in-frame pixels are needed
+    # (padding exists solely for tile histograms), and the gather +
+    # blend runs row-tiled: the untiled form allocated ~7 full float32
+    # frames (v11..v22, top, bot, out), pure DRAM streaming at 32
+    # workers; blocks keep the working set ≲1 MiB. Identical math on
+    # identical values → byte-identical output.
+    ys = np.arange(h, dtype=np.float32)
+    xs = np.arange(w, dtype=np.float32)
     tyf = (ys + 0.5) / th - 0.5
     txf = (xs + 0.5) / tw - 0.5
     ty1 = np.clip(np.floor(tyf).astype(np.int32), 0, grid - 1)
     tx1 = np.clip(np.floor(txf).astype(np.int32), 0, grid - 1)
     ty2 = np.minimum(ty1 + 1, grid - 1)
     tx2 = np.minimum(tx1 + 1, grid - 1)
-    ya = np.clip(tyf - np.floor(tyf), 0.0, 1.0).astype(np.float32)[:, None]
+    ya = np.clip(tyf - np.floor(tyf), 0.0, 1.0).astype(np.float32)
     xa = np.clip(txf - np.floor(txf), 0.0, 1.0).astype(np.float32)[None, :]
 
-    v = padded  # gather per-pixel LUT values from the 4 neighbor tiles
-    v11 = luts[ty1[:, None], tx1[None, :], v].astype(np.float32)
-    v12 = luts[ty1[:, None], tx2[None, :], v].astype(np.float32)
-    v21 = luts[ty2[:, None], tx1[None, :], v].astype(np.float32)
-    v22 = luts[ty2[:, None], tx2[None, :], v].astype(np.float32)
-    top = v11 * (1.0 - xa) + v12 * xa
-    bot = v21 * (1.0 - xa) + v22 * xa
-    out = top * (1.0 - ya[: len(ys)]) + bot * ya[: len(ys)]
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)[:h, :w]
+    out = np.empty((h, w), dtype=np.uint8)
+    block = max(8, (1 << 20) // (16 * max(w, 1)))
+    for r0 in range(0, h, block):
+        r1 = min(r0 + block, h)
+        v = img[r0:r1]  # in-frame rows: padded == img here
+        t1 = ty1[r0:r1][:, None]
+        t2 = ty2[r0:r1][:, None]
+        yab = ya[r0:r1][:, None]
+        v11 = luts[t1, tx1[None, :], v].astype(np.float32)
+        v12 = luts[t1, tx2[None, :], v].astype(np.float32)
+        v21 = luts[t2, tx1[None, :], v].astype(np.float32)
+        v22 = luts[t2, tx2[None, :], v].astype(np.float32)
+        top = v11 * (1.0 - xa) + v12 * xa
+        bot = v21 * (1.0 - xa) + v22 * xa
+        blend = top * (1.0 - yab) + bot * yab
+        out[r0:r1] = np.clip(np.rint(blend, out=blend), 0, 255).astype(np.uint8)
+    return out
+
+
+# saturate(round(v·1.2)) for every uint8 v, precomputed with the same
+# float32 multiply the per-pixel form used — the gain pass becomes one
+# LUT gather instead of two full float32 temporaries
+_GAIN_LUT = np.clip(
+    np.rint(np.arange(256, dtype=np.float32) * np.float32(1.2)), 0, 255
+).astype(np.uint8)
 
 
 def preprocess_illumination(img: np.ndarray) -> np.ndarray:
     """P3 full chain (common.py:21-33): blur 5×5 → CLAHE(1.5, 8×8) → ×1.2
     gain (cv2.addWeighted(result, 1.2, 0, 0, 0) = saturate(round(v·1.2)))."""
-    eq = clahe(gaussian_blur5(img))
-    return np.clip(np.rint(eq.astype(np.float32) * 1.2), 0, 255).astype(np.uint8)
+    return _GAIN_LUT[clahe(gaussian_blur5(img))]
 
 
 # --------------------------------------------------------------------------

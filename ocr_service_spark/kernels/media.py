@@ -377,11 +377,113 @@ def real_qr_decode(image: np.ndarray) -> dict | None:
     }
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png_gray(pixels: np.ndarray) -> bytes:
+    """Minimal REAL PNG encoder (8-bit grayscale, filter 0, one IDAT) —
+    stdlib-only (zlib + struct), so tests and datagen can emit genuine
+    PNG bytes in containers without PIL/cv2. The output opens in any
+    viewer/decoder."""
+    import struct
+    import zlib
+
+    h, w = pixels.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no interlace
+    raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_gray(blob: bytes) -> np.ndarray:
+    """Pure-python PNG decoder for the 8-bit grayscale non-interlaced
+    subset (full filter support per the PNG spec §9): the zero-dependency
+    fallback codec behind decode_real_image, so the real-image pipeline
+    path is exercisable without PIL/cv2."""
+    import struct
+    import zlib
+
+    if not blob.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = len(PNG_MAGIC), [], None
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={color} "
+            f"interlace={interlace}); install PIL/cv2 for full codec support"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG payload size mismatch")
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        ftype = raw[r * (w + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, count=w, offset=r * (w + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 1:  # Sub
+            cur = row.copy()
+            for i in range(1, w):
+                cur[i] = (cur[i] + cur[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = row.copy()
+            cur[0] = (cur[0] + prev[0] // 2) & 0xFF
+            for i in range(1, w):
+                cur[i] = (cur[i] + (cur[i - 1] + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = row.copy()
+            for i in range(w):
+                a = cur[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
 def decode_real_image(blob: bytes) -> np.ndarray:
     """P1 decode for real jpeg/png/webp bytes → grayscale uint8 ndarray
     (reference cv2.imdecode at aligner.py:144-152 / PIL at paddleocr
-    ocr.py:60-68; this engine is grayscale-native). Raises ImportError
-    when no codec library is available."""
+    ocr.py:60-68; this engine is grayscale-native). Falls back to the
+    built-in pure-python PNG decoder (grayscale subset) when neither
+    codec library is importable, so basic real images decode anywhere."""
     try:
         import io
 
@@ -390,12 +492,16 @@ def decode_real_image(blob: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
     except ImportError:
         pass
-    import cv2
+    try:
+        import cv2
 
-    arr = cv2.imdecode(np.frombuffer(blob, np.uint8), 0)  # IMREAD_GRAYSCALE
-    if arr is None:
-        raise ValueError("undecodable image bytes")
-    return arr
+        arr = cv2.imdecode(np.frombuffer(blob, np.uint8), 0)  # IMREAD_GRAYSCALE
+        if arr is None:
+            raise ValueError("undecodable image bytes")
+        return arr
+    except ImportError:
+        pass
+    return _decode_png_gray(blob)
 
 
 class RealRecognizer:

@@ -8,7 +8,12 @@ imports with the Spark-side plumbing (schema, batch shape, partitioning)
 fully real and tested.
 
 These run on the engine's own deterministic media table (not the driver
-testdata), so they register as rows-only checks (no SQL oracle).
+testdata). Since round 3 the decode/featurize kernels are ORACLE-checked
+against ground truth that never touches the codecs or Spark: datagen
+records (width, height, mean_brightness, n_pixels) at generation time
+(media_truth.parquet sidecar), and the video/audio truth writers below
+re-derive expected features straight from the generator rng spec. Only
+the thumbnail kernel stays rows-only (its output bytes ARE the kernel).
 """
 
 from __future__ import annotations

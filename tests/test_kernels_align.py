@@ -265,3 +265,80 @@ def test_classic_align_partition_invariant():
     a = align.classic_align_corners(img)
     b = align.classic_align_corners(img)
     np.testing.assert_array_equal(a, b)
+
+
+def test_gaussian_blur5_tiling_invariant():
+    """The row-tiled blur must be byte-identical to the straightforward
+    full-frame separable form, across sizes around/below/above the block
+    boundary and odd shapes."""
+    import numpy as np
+
+    from ocr_service_spark.kernels.align import gaussian_blur5
+
+    def reference(img):
+        k = np.array([1, 4, 6, 4, 1], dtype=np.int32)
+        p = np.pad(img.astype(np.int32), 2, mode="reflect")
+        rows = sum(k[i] * p[:, i : i + img.shape[1]] for i in range(5))
+        both = sum(k[i] * rows[i : i + img.shape[0], :] for i in range(5))
+        return ((both + 128) >> 8).astype(np.uint8)
+
+    rng = np.random.default_rng(11)
+    for h, w in [(8, 8), (9, 33), (40, 17), (200, 301), (1030, 7), (3, 5), (517, 640)]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        np.testing.assert_array_equal(gaussian_blur5(img), reference(img), err_msg=f"{h}x{w}")
+
+
+def test_clahe_tiling_invariant():
+    """The row-tiled CLAHE interpolation must equal the full-frame
+    gather/blend byte-for-byte (same float32 math on the same values)."""
+    import numpy as np
+
+    from ocr_service_spark.kernels.align import clahe
+
+    def reference(img, clip_limit=1.5, grid=8):
+        h, w = img.shape
+        ph, pw = -(-h // grid) * grid, -(-w // grid) * grid
+        padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="reflect")
+        th, tw = ph // grid, pw // grid
+        tile_area = th * tw
+        clip = max(int(clip_limit * tile_area / 256), 1)
+        luts = np.empty((grid, grid, 256), dtype=np.uint8)
+        tiles = padded.reshape(grid, th, grid, tw)
+        scale = 255.0 / tile_area
+        for ty in range(grid):
+            for tx in range(grid):
+                hist = np.bincount(tiles[ty, :, tx, :].ravel(), minlength=256)
+                over = hist > clip
+                clipped = int((hist[over] - clip).sum())
+                hist = np.minimum(hist, clip)
+                hist += clipped // 256
+                residual = clipped % 256
+                if residual:
+                    step = max(256 // residual, 1)
+                    idx = np.arange(0, residual * step, step)[:residual]
+                    hist[idx[idx < 256]] += 1
+                luts[ty, tx] = np.clip(np.rint(hist.cumsum() * scale), 0, 255).astype(np.uint8)
+        ys = np.arange(ph, dtype=np.float32)
+        xs = np.arange(pw, dtype=np.float32)
+        tyf = (ys + 0.5) / th - 0.5
+        txf = (xs + 0.5) / tw - 0.5
+        ty1 = np.clip(np.floor(tyf).astype(np.int32), 0, grid - 1)
+        tx1 = np.clip(np.floor(txf).astype(np.int32), 0, grid - 1)
+        ty2 = np.minimum(ty1 + 1, grid - 1)
+        tx2 = np.minimum(tx1 + 1, grid - 1)
+        ya = np.clip(tyf - np.floor(tyf), 0.0, 1.0).astype(np.float32)[:, None]
+        xa = np.clip(txf - np.floor(txf), 0.0, 1.0).astype(np.float32)[None, :]
+        v = padded
+        v11 = luts[ty1[:, None], tx1[None, :], v].astype(np.float32)
+        v12 = luts[ty1[:, None], tx2[None, :], v].astype(np.float32)
+        v21 = luts[ty2[:, None], tx1[None, :], v].astype(np.float32)
+        v22 = luts[ty2[:, None], tx2[None, :], v].astype(np.float32)
+        top = v11 * (1.0 - xa) + v12 * xa
+        bot = v21 * (1.0 - xa) + v22 * xa
+        out = top * (1.0 - ya[: len(ys)]) + bot * ya[: len(ys)]
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)[:h, :w]
+
+    rng = np.random.default_rng(13)
+    for h, w in [(64, 64), (100, 130), (333, 250), (961, 720)]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        np.testing.assert_array_equal(clahe(img), reference(img), err_msg=f"{h}x{w}")

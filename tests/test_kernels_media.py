@@ -228,3 +228,77 @@ def test_hung_engine_call_fails_within_budget():
     r = run_cascade({}, np.zeros((8, 8), np.uint8), np.zeros((8, 8), np.uint8),
                     0.6, FlakyFast(), deadline=_t.monotonic() + 10)
     assert r.text == "recovered"
+
+
+def test_png_roundtrip_and_real_image_path_end_to_end():
+    """The built-in PNG codec (stdlib-only) decodes what it encodes, and
+    REAL image bytes travel the full real path — decode_real_image →
+    align → binarize → QR skip → RealRecognizer cascade — without any
+    gated libraries. Without OCR engines the cascade ends as the
+    documented failed span; with them it may complete."""
+    import importlib.util
+
+    from ocr_service_spark.kernels.media import decode_real_image, encode_png_gray
+
+    rng = np.random.default_rng(5)
+    img = np.full((80, 60), 30, np.uint8)
+    img[10:70, 8:52] = 200  # bright receipt quad on dark background
+    img[12:68, 10:50] += rng.integers(0, 10, (56, 40)).astype(np.uint8)
+    blob = encode_png_gray(img)
+    assert blob.startswith(b"\x89PNG\r\n\x1a\n")
+    np.testing.assert_array_equal(decode_real_image(blob), img)
+
+    res = extract_media_span(blob, 0.6, None)
+    have_engine = (
+        importlib.util.find_spec("pytesseract") is not None
+        or importlib.util.find_spec("paddleocr") is not None
+    )
+    if have_engine:
+        assert res["status"] in ("completed", "failed")
+    else:
+        assert res["status"] == "failed"
+        assert "OCR attempts failed" in res["error"]
+        assert res["kind"] == "media_text"
+
+
+def test_png_decoder_all_filter_types():
+    """Spec §9 filter coverage: rows filtered with Sub/Up/Average/Paeth
+    (our encoder only emits None) decode back to the target pixels."""
+    import struct
+    import zlib
+
+    from ocr_service_spark.kernels.media import PNG_MAGIC, _decode_png_gray
+
+    target = (np.arange(16, dtype=np.int32).reshape(4, 4) * 37 % 256).astype(np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = [0, 0, 0, 0]
+    for r, ftype in enumerate((1, 2, 3, 4)):
+        cur = [int(x) for x in target[r]]
+        raw.append(ftype)
+        for i in range(4):
+            a = cur[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            pred = {1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ftype]
+            raw.append((cur[i] - pred) & 0xFF)
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(_decode_png_gray(blob), target)

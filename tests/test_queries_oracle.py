@@ -69,3 +69,16 @@ def test_ivf_pandas_matches_declarative(spark):
         .collect()
     }
     assert fast == slow
+
+
+def test_set_ops_forms_agree(spark):
+    """The 2-exchange flag-aggregation default and the set-operator
+    (intersect/subtract) form compute identical counts."""
+    from ocr_service_spark.ops.relational import (
+        q_user_set_ops,
+        q_user_set_ops_operators,
+    )
+
+    fast = q_user_set_ops(spark, SF_DIR).collect()[0].asDict()
+    ops = q_user_set_ops_operators(spark, SF_DIR).collect()[0].asDict()
+    assert fast == ops
