@@ -312,3 +312,165 @@ ORACLES = {
     "fingerprint_clusters": _ORACLE_FINGERPRINT,
     "corpus_curation": _ORACLE_CURATION,
 }
+
+
+# --------------------------------------------------------------------------
+# extras (round 3): safety scrub + TF-IDF — registered AFTER the
+# sacrificial tail in queries.py so a driver report cap can never
+# displace longer-standing entries; still fully oracle-checked locally.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[A-Za-z0-9./_-]+"
+_PHONE_RE = r"\d{3}-\d{2,4}-\d{4}"
+
+
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/PII scrub — the redaction filter a training-data pipeline
+    runs before anything else: detect emails / URLs / phone numbers and
+    strip them. The driver corpus is word salad with no PII, so each
+    class of marker is INJECTED deterministically from doc_id (same
+    construction in the oracle) — the check validates detection counts
+    and the redacted lengths on known-positive text, not vacuous zeros.
+    All native regexp expressions (regexp_count / regexp_replace), one
+    exchange for the final rollup."""
+    d = F.col("doc_id")
+    inj = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), d.cast("string"),
+                F.lit("@example.com or "),
+                F.lit("http://ex.org/p"), d.cast("string"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit(" call 555-01"), F.lpad((d % 100).cast("string"), 2, "0"),
+                     F.lit("-1234")),
+        )
+        .otherwise(F.lit(""))
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        (d % 3).alias("pii_class"), F.concat("text", inj).alias("t")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "[REDACTED]"),
+            _URL_RE, "[REDACTED]",
+        ),
+        _PHONE_RE, "[REDACTED]",
+    )
+    per_doc = docs.select(
+        "pii_class",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).alias("e"),
+        F.regexp_count("t", F.lit(_URL_RE)).alias("u"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).alias("p"),
+        F.length(redacted).alias("clean_len"),
+    )
+    return per_doc.groupBy("pii_class").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("e").alias("n_emails"),
+        F.sum("u").alias("n_urls"),
+        F.sum("p").alias("n_phones"),
+        F.sum("clean_len").alias("total_clean_len"),
+    )
+
+
+_ORACLE_PII = f"""
+WITH injected AS (
+  SELECT doc_id % 3 AS pii_class,
+         text || CASE doc_id % 3
+           WHEN 0 THEN ' contact user' || doc_id || '@example.com or http://ex.org/p' || doc_id
+           WHEN 1 THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-1234'
+           ELSE '' END AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT pii_class,
+         len(regexp_extract_all(t, '{_EMAIL_RE}')) AS e,
+         len(regexp_extract_all(t, '{_URL_RE}')) AS u,
+         len(regexp_extract_all(t, '{_PHONE_RE}')) AS p,
+         length(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_EMAIL_RE}', '[REDACTED]', 'g'),
+           '{_URL_RE}', '[REDACTED]', 'g'),
+           '{_PHONE_RE}', '[REDACTED]', 'g')) AS clean_len
+  FROM injected
+)
+SELECT pii_class, count(*) AS n_docs,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(u) AS BIGINT) AS n_urls,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(clean_len) AS BIGINT) AS total_clean_len
+FROM per_doc GROUP BY pii_class
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top terms — the keyword/topic extraction stage
+    of corpus analysis. tf = in-doc count, df = docs containing the term,
+    idf = ln((N+1)/(df+1)); top-2 terms per doc ranked by score rounded
+    to 6 decimals (kills engine-libm ulp divergence) with term as the
+    tie-break, so the (doc_id, rank, term) output is engine-precision-
+    independent. Shape: one shuffle for tf, one for df, broadcast join
+    back — no per-doc loops, holds at any corpus size."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        F.col("tf")
+        * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("score"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("doc_id", "rank", "term")
+    )
+
+
+_ORACLE_TFIDF = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+t2 AS (SELECT doc_id, term FROM t WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term FROM (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM s
+) WHERE rank <= 2
+"""
+
+
+EXTRA_QUERIES = {
+    "pii_scrub_stats": q_pii_scrub_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+}
+
+EXTRA_ORACLES = {
+    "pii_scrub_stats": _ORACLE_PII,
+    "tfidf_top_terms": _ORACLE_TFIDF,
+}

@@ -227,6 +227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(mod.QUERIES)
     for name in _SACRIFICIAL_TAIL:
         out[name] = out.pop(name)
+    # round-3 additions register at the very end: fully oracle-checked,
+    # but a driver report cap must drop THESE before any longer-standing
+    # entry (they are covered by pytest/check_oracle either way)
+    out.update(textstats.EXTRA_QUERIES)
     return out
 
 
@@ -267,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
     for mod in (relational, textstats, dedup, similarity, streaming):
         out.update(mod.ORACLES)
     out["receipt_fields"] = RECEIPT_FIELDS_ORACLE
+    out.update(textstats.EXTRA_ORACLES)
     out.update(_media_oracles())
     # extract_pipeline / media_thumbnails / structured_receipts stay
     # rows-only (binary kernels / full LLM-schema output with JSON+array

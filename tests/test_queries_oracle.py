@@ -48,7 +48,12 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-2:] == ["ann_lsh_buckets", "ann_ivf_cells"]
+    assert names[-4:] == [
+        "ann_lsh_buckets",
+        "ann_ivf_cells",
+        "pii_scrub_stats",
+        "tfidf_top_terms",
+    ]
 
 
 def test_ivf_pandas_matches_declarative(spark):
