@@ -302,3 +302,23 @@ def test_png_decoder_all_filter_types():
         + chunk(b"IEND", b"")
     )
     np.testing.assert_array_equal(_decode_png_gray(blob), target)
+
+
+def test_png_roundtrip_property():
+    """Property: encode_png_gray → decode is the identity for arbitrary
+    8-bit grayscale images (sizes crossing the block/filter edges)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ocr_service_spark.kernels.media import _decode_png_gray, encode_png_gray
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, seed):
+        img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+        np.testing.assert_array_equal(_decode_png_gray(encode_png_gray(img)), img)
+
+    check()
