@@ -418,27 +418,32 @@ def _decode_png_gray(blob: bytes) -> np.ndarray:
 
     if not blob.startswith(PNG_MAGIC):
         raise ValueError("not a PNG")
-    pos, idat, ihdr = len(PNG_MAGIC), [], None
-    while pos + 8 <= len(blob):
-        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
-        typ = blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("truncated PNG")
-    w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or color != 0 or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG variant (depth={depth} color={color} "
-            f"interlace={interlace}); install PIL/cv2 for full codec support"
-        )
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        pos, idat, ihdr = len(PNG_MAGIC), [], None
+        while pos + 8 <= len(blob):
+            (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+            typ = blob[pos + 4 : pos + 8]
+            data = blob[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        if ihdr is None or not idat:
+            raise ValueError("truncated PNG")
+        w, h, depth, color, _comp, _filt, interlace = ihdr
+        if depth != 8 or color != 0 or interlace != 0:
+            raise ValueError(
+                f"unsupported PNG variant (depth={depth} color={color} "
+                f"interlace={interlace}); install PIL/cv2 for full codec support"
+            )
+        raw = zlib.decompress(b"".join(idat))
+    except (struct.error, zlib.error) as exc:
+        # Corrupt bytes past the magic check must surface as ValueError so
+        # extract_media_span's failed-span guard catches them (never a crash).
+        raise ValueError(f"corrupt PNG bytes: {exc}") from exc
     if len(raw) != h * (w + 1):
         raise ValueError("PNG payload size mismatch")
     out = np.zeros((h, w), dtype=np.uint8)
@@ -450,10 +455,8 @@ def _decode_png_gray(blob: bytes) -> np.ndarray:
         ).astype(np.int32)
         if ftype == 0:  # None
             cur = row
-        elif ftype == 1:  # Sub
-            cur = row.copy()
-            for i in range(1, w):
-                cur[i] = (cur[i] + cur[i - 1]) & 0xFF
+        elif ftype == 1:  # Sub — mod-256 addition is associative: a cumsum
+            cur = np.cumsum(row, dtype=np.int64) & 0xFF
         elif ftype == 2:  # Up
             cur = (row + prev) & 0xFF
         elif ftype == 3:  # Average

@@ -296,16 +296,20 @@ def audio_truth_rows(n: int = 64) -> list[tuple]:
 
 def ensure_av_truth(out_dir: str) -> dict[str, str]:
     """Write video/audio ground-truth parquet (idempotent) for the DuckDB
-    oracles of the rows-only kernels."""
+    oracles of the rows-only kernels. The generator spec is baked into the
+    filenames (same versioned-marker idea as datagen's ensure_dataset), so
+    editing FRAME_STRIDE / seeds / sizes invalidates stale truth files
+    instead of silently reusing them."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    spec = f"s{FRAME_STRIDE}-48x24x32-7000-64x8000-9000"
     paths = {
-        "video": os.path.join(out_dir, "video_truth.parquet"),
-        "audio": os.path.join(out_dir, "audio_truth.parquet"),
+        "video": os.path.join(out_dir, f"video_truth-{spec}.parquet"),
+        "audio": os.path.join(out_dir, f"audio_truth-{spec}.parquet"),
     }
     if not os.path.exists(paths["video"]):
         vr = video_truth_rows()

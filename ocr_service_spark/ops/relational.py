@@ -447,10 +447,15 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max((F.col("event_type") == "purchase").cast("int")).alias("b"),
         )
     )
+    # coalesce: sum over zero rows is NULL, but the set-operator form and
+    # the INTERSECT/EXCEPT oracle both count an empty input as 0
+    def n(cond, name):
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0).cast("long")).alias(name)
+
     return flags.agg(
-        F.sum(((F.col("c") == 1) & (F.col("b") == 1)).cast("long")).alias("n_both"),
-        F.sum(((F.col("c") == 1) & (F.col("b") == 0)).cast("long")).alias("n_click_only"),
-        F.sum(((F.col("c") == 0) & (F.col("b") == 1)).cast("long")).alias("n_buy_only"),
+        n((F.col("c") == 1) & (F.col("b") == 1), "n_both"),
+        n((F.col("c") == 1) & (F.col("b") == 0), "n_click_only"),
+        n((F.col("c") == 0) & (F.col("b") == 1), "n_buy_only"),
     )
 
 

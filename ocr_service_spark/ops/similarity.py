@@ -219,6 +219,20 @@ _IVF_MODEL_CACHE: dict[tuple, tuple] = {}
 _CELLS_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _ivf_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Cache key carrying the embeddings file's content fingerprint
+    (size+mtime, same rule as streaming's stage_fingerprint), so a
+    regenerated table at the same path never serves stale centroids."""
+    from . import table_path
+    from .streaming import stage_fingerprint
+
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        stage_fingerprint(table_path(sf_dir, "embeddings")),
+    )
+
+
 def _ivf_model(spark: SparkSession, sf_dir: str):
     """Build the coarse quantizer driver-side with ZERO Spark jobs: row
     count from the parquet footer (the manifest-metadata read an Iceberg
@@ -230,7 +244,7 @@ def _ivf_model(spark: SparkSession, sf_dir: str):
 
     from . import table_path
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _ivf_cache_key(spark, sf_dir)
     m = _IVF_MODEL_CACHE.get(key)
     if m is None:
         path = table_path(sf_dir, "embeddings")
@@ -285,7 +299,7 @@ def _ivf_cells_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazy-plan cache: repeated calls reuse one resolved DataFrame
     (plan resolution + UDF registration cost ~0.5 s per rebuild). The
     cells query additionally persists it (build-once / probe-many)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _ivf_cache_key(spark, sf_dir)
     df = _CELLS_CACHE.get(key)
     if df is None:
         df = _ivf_cells(spark, sf_dir)
@@ -315,6 +329,11 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if QUERY_VEC_ID >= k:
         raise ValueError("query vector must be one of the IVF seed centroids")
     qi = int(np.searchsorted(cent_ids, QUERY_VEC_ID))
+    if qi >= len(cent_ids) or int(cent_ids[qi]) != QUERY_VEC_ID:
+        raise ValueError(
+            f"query vec_id {QUERY_VEC_ID} absent from the seed-centroid set "
+            "(vec_ids are not contiguous from 0)"
+        )
     qv = cent_mat[qi]
     qn = float(cent_norm[qi])
     # query cell via the SAME vectorized expression as the assignment

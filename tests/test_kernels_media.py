@@ -322,3 +322,33 @@ def test_png_roundtrip_property():
         np.testing.assert_array_equal(_decode_png_gray(encode_png_gray(img)), img)
 
     check()
+
+
+def test_corrupt_png_yields_failed_span_not_crash():
+    """Corrupt bytes past the PNG magic (truncated IHDR, garbage IDAT)
+    must surface as ValueError from the fallback decoder so
+    extract_media_span returns the documented failed span instead of
+    crashing the task (zlib/struct errors are wrapped)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from ocr_service_spark.kernels.media import PNG_MAGIC, _decode_png_gray
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    truncated_ihdr = PNG_MAGIC + chunk(b"IHDR", b"\x00\x01")
+    garbage_idat = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", b"not-deflate-data")
+        + chunk(b"IEND", b"")
+    )
+    for blob in (truncated_ihdr, garbage_idat):
+        with pytest.raises(ValueError):
+            _decode_png_gray(blob)

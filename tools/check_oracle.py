@@ -137,7 +137,10 @@ def verify_report(path: str) -> int:
 
 
 def main() -> int:
-    if len(sys.argv) > 2 and sys.argv[1] == "--verify-report":
+    if len(sys.argv) > 1 and sys.argv[1] == "--verify-report":
+        if len(sys.argv) < 3:
+            print("usage: check_oracle.py --verify-report CORRECTNESS_rNN.json")
+            return 2
         return verify_report(sys.argv[2])
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:]) or None
