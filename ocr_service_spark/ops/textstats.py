@@ -465,12 +465,147 @@ SELECT doc_id, rank, term FROM (
 """
 
 
+# --- Gopher-style repetition filter ---------------------------------------
+# thresholds sit at ~p90 of the corpus distribution so the flag is
+# non-vacuous (flags ~10% of docs) without being the common case
+REP_TOP_FRAC = 0.13   # most-frequent-token share of the doc
+REP_DUP_FRAC = 0.06   # duplicate-bigram share of the doc
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText rule
+    family, Rae et al. 2021 §A1.1): flag documents whose most frequent
+    token or duplicate-bigram share exceeds a threshold. Two shapes on
+    purpose: the top-token share runs distributed (explode → tf →
+    per-doc max — the layout that holds for arbitrarily long documents),
+    while the bigram-dup share is a per-row higher-order-function
+    expression (zero extra shuffle). One doc_id join + one rollup."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", F.split("text", " ").alias("l"))
+    uni = base.select("doc_id", F.explode("l").alias("term"))
+    tf = uni.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    top = tf.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_tok")
+    )
+    # slice(l, i, 2) is 1-based → bigram i is (l[i], l[i+1]) 1-based,
+    # matching the oracle; guard: sequence(1, 0) would run DESCENDING
+    bgs = F.when(
+        F.size("l") >= 2,
+        F.expr("transform(sequence(1, size(l)-1), i -> array_join(slice(l, i, 2), ' '))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bm = base.select(
+        "doc_id",
+        "source",
+        (F.size(bgs) - F.size(F.array_distinct(bgs))).alias("dup_n"),
+        F.size(bgs).alias("n_bg"),
+    )
+    top_frac = F.col("top_c") / F.col("n_tok")
+    dup_frac = F.col("dup_n") / F.col("n_bg")
+    flagged = (top_frac > REP_TOP_FRAC) | (dup_frac > REP_DUP_FRAC)
+    return (
+        bm.join(top, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(flagged.cast("long")).alias("n_flagged"),
+            F.round(F.avg(top_frac), 4).alias("avg_top_frac"),
+            F.round(F.avg(dup_frac), 4).alias("avg_dup_frac"),
+        )
+    )
+
+
+_ORACLE_REPETITION = f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+uni AS (SELECT doc_id, unnest(l) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS c FROM uni GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok FROM tf GROUP BY 1),
+bm AS (
+  SELECT doc_id, source,
+         CASE WHEN len(l) >= 2
+              THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+              ELSE []::VARCHAR[] END AS bgs
+  FROM toks
+),
+bf AS (SELECT doc_id, source, len(bgs) - len(list_distinct(bgs)) AS dup_n,
+              len(bgs) AS n_bg
+       FROM bm)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN top_c / CAST(n_tok AS DOUBLE) > {REP_TOP_FRAC}
+                       OR dup_n / CAST(n_bg AS DOUBLE) > {REP_DUP_FRAC}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       round(avg(top_c / CAST(n_tok AS DOUBLE)), 4) AS avg_top_frac,
+       round(avg(dup_n / CAST(n_bg AS DOUBLE)), 4) AS avg_dup_frac
+FROM bf JOIN top USING (doc_id)
+GROUP BY source
+"""
+
+
+# --- benchmark decontamination --------------------------------------------
+DECON_SHINGLE = 4          # token n-gram width for the overlap test
+DECON_BENCH_MOD = 97       # doc_id % 97 == 0 defines the "benchmark" set
+
+
+def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training docs sharing any
+    4-token shingle with a held-out "benchmark" set (here the
+    deterministic doc_id % 97 == 0 subset standing in for an eval
+    suite). Per-row shingling (higher-order functions, distinct'd
+    before explode), benchmark side broadcast (eval suites are small by
+    nature — the corpus never shuffles on content), one groupBy(doc_id)
+    for the hit counts. Output: contaminated doc_id → distinct hit
+    shingles."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("l"))
+    sh = F.when(
+        F.size("l") >= DECON_SHINGLE,
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(l)-{DECON_SHINGLE - 1}), "
+            f"i -> array_join(slice(l, i, {DECON_SHINGLE}), ' ')))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = base.select("doc_id", F.explode(sh).alias("s"))
+    bench = (
+        shingled.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("s")
+        .distinct()
+    )
+    return (
+        shingled.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+_ORACLE_DECONTAM = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(l) >= {DECON_SHINGLE}
+                THEN list_transform(range(1, len(l) - {DECON_SHINGLE - 2}),
+                                    i -> array_to_string(l[i:i+{DECON_SHINGLE - 1}], ' '))
+                ELSE []::VARCHAR[] END)) AS s
+  FROM toks
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0)
+SELECT sh.doc_id, count(*) AS n_hits
+FROM sh JOIN bench USING (s)
+WHERE sh.doc_id % {DECON_BENCH_MOD} <> 0
+GROUP BY 1
+"""
+
+
 EXTRA_QUERIES = {
     "pii_scrub_stats": q_pii_scrub_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "repetition_filter": q_repetition_filter,
+    "decontam_hits": q_decontam_hits,
 }
 
 EXTRA_ORACLES = {
     "pii_scrub_stats": _ORACLE_PII,
     "tfidf_top_terms": _ORACLE_TFIDF,
+    "repetition_filter": _ORACLE_REPETITION,
+    "decontam_hits": _ORACLE_DECONTAM,
 }

@@ -48,11 +48,13 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-4:] == [
+    assert names[-6:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
         "tfidf_top_terms",
+        "repetition_filter",
+        "decontam_hits",
     ]
 
 
