@@ -36,6 +36,8 @@ HEADLINE = [
     "quality_scores",
     "langid_heuristic",
     "corpus_curation",
+    "repetition_filter",
+    "decontam_hits",
     "minhash_lsh_buckets",
     "simhash_histogram",
     "ngram_jaccard_pairs",
