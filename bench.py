@@ -38,6 +38,7 @@ HEADLINE = [
     "corpus_curation",
     "repetition_filter",
     "decontam_hits",
+    "unigram_logprob",
     "minhash_lsh_buckets",
     "simhash_histogram",
     "ngram_jaccard_pairs",
@@ -46,6 +47,7 @@ HEADLINE = [
     "ann_lsh_probe",
     "ann_ivf_cells",  # index build (persists the assignment) ...
     "ann_ivf_probe",  # ... then the probe scans the in-memory index
+    "kmeans_clusters",
     "sessionization",
     "event_props_json",
     "asof_last_order",

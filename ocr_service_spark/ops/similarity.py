@@ -441,6 +441,124 @@ JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) v
 """
 
 
+# --- k-means clustering (unrolled Lloyd, oracle-checkable) -----------------
+KM_K = 8        # coarse cluster count (seeds = first K vectors)
+KM_ROUND = 6    # centroid rounding: kills engine-summation ulp divergence
+
+
+def _km_assign_udf(cent_mat: np.ndarray, cent_ids: np.ndarray):
+    """Vectorized squared-L2 argmin over a broadcast centroid matrix —
+    one row out per row in, ties toward the smallest cid (np.argmin
+    returns the first minimum; cent_ids are sorted ascending)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        d = ((x[:, None, :] - cent_mat[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(cent_ids[np.argmin(d, axis=1)])
+
+    return assign
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding k-means — two Lloyd iterations in the canonical
+    distributed shape: assignment is a pandas-UDF argmin over the
+    broadcast K×d centroid matrix (one Arrow-batched matmul-style pass,
+    one row out per row in); the centroid update is posexplode →
+    groupBy(cid, dim) avg collected to the driver (K×d values — the
+    tiny model update every distributed k-means does between
+    iterations). Centroid means round to KM_ROUND decimals so the
+    assignment is engine-precision-independent, and the output is
+    integer-only (final cluster sizes + members that moved between
+    iterations), exactly matched by a DuckDB oracle with the Lloyd
+    steps unrolled as CTEs. Seeds are the first K vectors (same
+    deterministic rule as the IVF coarse quantizer)."""
+    import pyarrow.parquet as pq
+
+    from . import table_path
+
+    tbl = pq.read_table(
+        table_path(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", KM_K)],
+    ).sort_by("vec_id")
+    ids0 = tbl["vec_id"].to_numpy().astype(np.int64)
+    c0 = np.array(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    assign0 = _km_assign_udf(c0, ids0)
+    a1 = emb.select("vec_id", "v", assign0("v").alias("cid"))
+    m1 = (
+        a1.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("x"), KM_ROUND).alias("c"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in m1:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+    ids1 = np.array(sorted(by_cid), dtype=np.int64)
+    c1 = np.array(
+        [[by_cid[c][p] for p in sorted(by_cid[c])] for c in ids1], dtype=np.float64
+    )
+    assign1 = _km_assign_udf(c1, ids1)
+    # one pass computes BOTH assignments (re-running the cheap iter-0
+    # argmin beats a vec_id shuffle join of two assignment scans)
+    a2 = emb.select(
+        "vec_id", assign0("v").alias("cid1"), assign1("v").alias("cid2")
+    )
+    return a2.groupBy(F.col("cid2").alias("cid")).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((F.col("cid1") != F.col("cid2")).cast("long")).alias("n_moved"),
+    )
+
+
+_ORACLE_KMEANS = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KM_K}),
+d1 AS (SELECT e.vec_id, c0.cid,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                                 i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))) AS d
+       FROM e CROSS JOIN c0),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d1) WHERE rn = 1),
+m1e AS (SELECT a1.cid, generate_subscripts(e.v, 1) - 1 AS pos, unnest(e.v) AS x
+        FROM a1 JOIN e USING (vec_id)),
+m1 AS (SELECT cid, pos, round(avg(x), {KM_ROUND}) AS c FROM m1e GROUP BY 1, 2),
+c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+d2 AS (SELECT e.vec_id, c1.cid,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                                 i -> (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i]))) AS d
+       FROM e CROSS JOIN c1),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d2) WHERE rn = 1)
+SELECT a2.cid, count(*) AS n_vectors,
+       CAST(sum(CASE WHEN a1.cid <> a2.cid THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+FROM a2 JOIN a1 USING (vec_id)
+GROUP BY a2.cid
+"""
+
+
+EXTRA_QUERIES = {
+    "kmeans_clusters": q_kmeans_clusters,
+}
+
+EXTRA_ORACLES = {
+    "kmeans_clusters": _ORACLE_KMEANS,
+}
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,

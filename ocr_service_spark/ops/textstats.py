@@ -596,11 +596,68 @@ GROUP BY 1
 """
 
 
+# --- unigram LM likelihood filter -----------------------------------------
+# p10 of the per-doc avg logprob distribution: flags out-of-distribution
+# docs (the CCNet-style LM-perplexity filter, with the corpus's own
+# unigram model standing in for the external KenLM)
+UNIGRAM_LP_MIN = -3.41
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-likelihood quality filter: score each document by the mean
+    unigram log-probability of its tokens under the corpus's own unigram
+    model, and flag low-likelihood docs (CCNet's perplexity filtering,
+    Wenzek et al. 2020, with a self-trained unigram LM). Shapes: one tf
+    shuffle builds the model, the model joins back broadcast (a vocab is
+    tiny next to the corpus), one per-doc rollup, one per-source rollup.
+    Per-doc means round to 6 decimals before thresholding so the flag is
+    engine-precision-independent."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = terms.groupBy("term").agg(F.count("*").alias("tc"))
+    tot = terms.agg(F.count("*").alias("n_tok_corpus"))
+    per_doc = (
+        terms.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("tc") / F.col("n_tok_corpus"))), 6
+            ).alias("alp")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("alp") < UNIGRAM_LP_MIN).cast("long")).alias("n_low"),
+        F.round(F.avg("alp"), 4).alias("avg_logprob"),
+    )
+
+
+_ORACLE_UNIGRAM = f"""
+WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+vocab AS (SELECT term, count(*) AS tc FROM t GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM t),
+per_doc AS (
+  SELECT doc_id, source, round(avg(ln(tc / CAST(n AS DOUBLE))), 6) AS alp
+  FROM t JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN alp < {UNIGRAM_LP_MIN} THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       round(avg(alp), 4) AS avg_logprob
+FROM per_doc GROUP BY source
+"""
+
+
 EXTRA_QUERIES = {
     "pii_scrub_stats": q_pii_scrub_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_filter": q_repetition_filter,
     "decontam_hits": q_decontam_hits,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 EXTRA_ORACLES = {
@@ -608,4 +665,5 @@ EXTRA_ORACLES = {
     "tfidf_top_terms": _ORACLE_TFIDF,
     "repetition_filter": _ORACLE_REPETITION,
     "decontam_hits": _ORACLE_DECONTAM,
+    "unigram_logprob": _ORACLE_UNIGRAM,
 }

@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # but a driver report cap must drop THESE before any longer-standing
     # entry (they are covered by pytest/check_oracle either way)
     out.update(textstats.EXTRA_QUERIES)
+    out.update(similarity.EXTRA_QUERIES)
     return out
 
 
@@ -272,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         out.update(mod.ORACLES)
     out["receipt_fields"] = RECEIPT_FIELDS_ORACLE
     out.update(textstats.EXTRA_ORACLES)
+    out.update(similarity.EXTRA_ORACLES)
     out.update(_media_oracles())
     # extract_pipeline / media_thumbnails / structured_receipts stay
     # rows-only (binary kernels / full LLM-schema output with JSON+array

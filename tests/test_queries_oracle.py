@@ -48,13 +48,15 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-6:] == [
+    assert names[-8:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
         "tfidf_top_terms",
         "repetition_filter",
         "decontam_hits",
+        "unigram_logprob",
+        "kmeans_clusters",
     ]
 
 
