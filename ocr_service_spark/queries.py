@@ -31,9 +31,13 @@ def _entry_dataset_dir() -> str:
 
 
 def extract_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: full interleaved-document extraction (rows-only check —
-    media blobs are not SQL-reachable). sf_dir is ignored; the input is
-    the deterministic synthetic dataset."""
+    """Flagship: full interleaved-document extraction. sf_dir is ignored;
+    the input is the deterministic synthetic dataset, and the oracle is
+    its golden.parquet sidecar — the expected span sequence datagen
+    computes from the generator spec, independent of the Spark path —
+    so the whole decode→align→binarize→OCR→reassemble chain is
+    hash-checked, not just row-counted. media_ref coalesces to '' in
+    both twins: pandas materializes VARCHAR NULLs unpredictably."""
     data_dir = _entry_dataset_dir()
     docs, media = load_inputs(spark, data_dir)
     output, _ = run_extract(spark, docs, media, ExtractConfig())
@@ -46,7 +50,7 @@ def extract_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
-        F.col("s.media_ref").alias("media_ref"),
+        F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
         F.col("s.order").alias("span_order"),
     )
 
@@ -242,10 +246,16 @@ def _media_oracles() -> dict[str, str]:
     truth writers) — independent of the kernels under test."""
     from .ops.multimodal import ensure_av_truth
 
-    _entry_dataset_dir()  # materializes media_truth.parquet
+    _entry_dataset_dir()  # materializes media_truth.parquet + golden.parquet
     av = ensure_av_truth(ENTRY_DS_DIR)
     media_truth = os.path.join(ENTRY_DS_DIR, "media_truth.parquet")
+    golden = os.path.join(ENTRY_DS_DIR, "golden.parquet")
     return {
+        "extract_pipeline": (
+            "SELECT doc_id, s.kind AS kind, s.text AS text, "
+            "coalesce(s.media_ref, '') AS media_ref, s.\"order\" AS span_order "
+            f"FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{golden}'))"
+        ),
         "media_metadata": (
             "SELECT media_ref, width, height, mean_brightness, n_pixels, codec "
             f"FROM read_parquet('{media_truth}')"
@@ -275,7 +285,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(textstats.EXTRA_ORACLES)
     out.update(similarity.EXTRA_ORACLES)
     out.update(_media_oracles())
-    # extract_pipeline / media_thumbnails / structured_receipts stay
-    # rows-only (binary kernels / full LLM-schema output with JSON+array
-    # columns); receipt_fields carries the SQL-expressible R8 subset.
+    # media_thumbnails / structured_receipts stay rows-only (the thumb
+    # bytes ARE the kernel / full LLM-schema output with JSON+array
+    # columns); receipt_fields carries the SQL-expressible R8 subset and
+    # extract_pipeline is golden-checked as of round 3.
     return out

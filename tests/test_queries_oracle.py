@@ -35,10 +35,10 @@ def test_registry_consistency():
     assert set(oracles) <= set(qs)
     # all but the binary-kernel ops are oracle-checked (media_metadata /
     # size_stats / video / audio gained datagen-ground-truth oracles in
-    # round 3; thumbnails stay rows-only — the thumb bytes ARE the kernel)
+    # round 3, extract_pipeline its golden.parquet oracle; thumbnails
+    # stay rows-only — the thumb bytes ARE the kernel)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "extract_pipeline",
         "media_thumbnails",
         "structured_receipts",
     }
