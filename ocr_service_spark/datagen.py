@@ -154,12 +154,21 @@ def _make_media_blob(
         # keeps the classic P3-P8 chain exercised end-to-end
         meta["mode"] = "classic"
     # ground truth captured at generation time (pre-encode): independent
-    # oracle values for the multimodal decode kernels (media_metadata)
+    # oracle values for the multimodal decode kernels (media_metadata,
+    # media_thumbnails). The thumbnail rule is the documented 16×16
+    # nearest-index subsample (THUMB = 16, ops/multimodal.py) applied to
+    # the pre-encode pixels — the kernel must reproduce it through the
+    # codec roundtrip.
+    import hashlib
+
+    yi = np.clip((np.arange(16) * h) // 16, 0, h - 1)
+    xi = np.clip((np.arange(16) * w) // 16, 0, w - 1)
     truth = {
         "width": w,
         "height": h,
         "mean_brightness": round(float(pixels.mean()), 4),
         "n_pixels": int(pixels.size),
+        "thumb_md5": hashlib.md5(pixels[np.ix_(yi, xi)].tobytes()).hexdigest(),
     }
     return encode_simg(meta, pixels), truth
 
@@ -253,6 +262,9 @@ def generate(
             "n_pixels": pa.array([t["n_pixels"] for t in media_truth], pa.int64()),
             "codec": pa.array(["simg"] * len(media_truth), pa.string()),
             "file_size": pa.array([len(b) for b in media_blobs], pa.int32()),
+            "thumb_md5": pa.array(
+                [t["thumb_md5"] for t in media_truth], pa.string()
+            ),
         }
     )
 
@@ -284,8 +296,8 @@ def ensure_dataset(
     function of (n_docs, seed), so presence implies validity)."""
     # marker version bumps force regeneration when generated content
     # changes (v3: small row groups; v4: per-blob alignment modes;
-    # v5: media_truth ground-truth sidecar)
-    marker = os.path.join(out_dir, f".complete-v5-{n_docs}-{seed}-{media_scale}")
+    # v5: media_truth ground-truth sidecar; v6: thumb_md5 truth column)
+    marker = os.path.join(out_dir, f".complete-v6-{n_docs}-{seed}-{media_scale}")
     paths = {
         "documents": os.path.join(out_dir, "documents.parquet"),
         "media": os.path.join(out_dir, "media.parquet"),

@@ -266,6 +266,10 @@ def _media_oracles() -> dict[str, str]:
             "CAST(quantile_disc(file_size, 0.5) AS INTEGER) AS p50_bytes "
             f"FROM read_parquet('{media_truth}')"
         ),
+        "media_thumbnails": (
+            "SELECT media_ref, thumb_md5, 16 AS thumb_w, 16 AS thumb_h "
+            f"FROM read_parquet('{media_truth}')"
+        ),
         "video_frame_sample": (
             "SELECT media_ref, frame_idx, mean_brightness, frame_md5 "
             f"FROM read_parquet('{av['video']}')"
@@ -285,8 +289,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(textstats.EXTRA_ORACLES)
     out.update(similarity.EXTRA_ORACLES)
     out.update(_media_oracles())
-    # media_thumbnails / structured_receipts stay rows-only (the thumb
-    # bytes ARE the kernel / full LLM-schema output with JSON+array
-    # columns); receipt_fields carries the SQL-expressible R8 subset and
-    # extract_pipeline is golden-checked as of round 3.
+    # only structured_receipts stays rows-only (full LLM-schema output
+    # with JSON+array columns); receipt_fields carries its SQL-
+    # expressible R8 subset, and extract_pipeline/media_thumbnails are
+    # golden/sidecar-checked as of round 3.
     return out

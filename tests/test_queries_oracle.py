@@ -33,15 +33,13 @@ def test_registry_consistency():
 
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
-    # all but the binary-kernel ops are oracle-checked (media_metadata /
-    # size_stats / video / audio gained datagen-ground-truth oracles in
-    # round 3, extract_pipeline its golden.parquet oracle; thumbnails
-    # stay rows-only — the thumb bytes ARE the kernel)
+    # everything except structured_receipts is oracle-checked: the media
+    # kernels against datagen-ground-truth sidecars (round 3; thumbnails
+    # via a generation-time thumb_md5), extract_pipeline against its
+    # golden.parquet. structured_receipts stays rows-only (JSON+array
+    # columns; receipt_fields carries the SQL-expressible R8 subset).
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "media_thumbnails",
-        "structured_receipts",
-    }
+    assert rows_only == {"structured_receipts"}
     # registry order is part of the driver contract: flagship/rows-only
     # entries first (a report cap drops from the tail), sacrificial
     # intermediate-structure entries last
