@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from . import load
 
@@ -449,8 +449,9 @@ KM_ROUND = 6    # centroid rounding: kills engine-summation ulp divergence
 def _km_assign_udf(cent_mat: np.ndarray, cent_ids: np.ndarray):
     """Vectorized squared-L2 argmin over a broadcast centroid matrix —
     one row out per row in, ties toward the smallest cid (np.argmin
-    returns the first minimum; cent_ids are sorted ascending)."""
-    from pyspark.sql import types as T
+    returns the first minimum; cent_ids are sorted ascending). Distances
+    round to KM_ROUND decimals before the argmin so near-tie cells can't
+    flip on summation-order ulps between numpy and the oracle engine."""
 
     @F.pandas_udf(T.LongType())
     def assign(vs: pd.Series) -> pd.Series:
@@ -458,7 +459,7 @@ def _km_assign_udf(cent_mat: np.ndarray, cent_ids: np.ndarray):
             return pd.Series([], dtype="int64")
         x = np.stack(vs.to_numpy()).astype(np.float64)
         d = ((x[:, None, :] - cent_mat[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(cent_ids[np.argmin(d, axis=1)])
+        return pd.Series(cent_ids[np.argmin(np.round(d, KM_ROUND), axis=1)])
 
     return assign
 
@@ -524,8 +525,8 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KM_K}),
 d1 AS (SELECT e.vec_id, c0.cid,
-         list_sum(list_transform(range(1, len(e.v) + 1),
-                                 i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))) AS d
+         round(list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))), {KM_ROUND}) AS d
        FROM e CROSS JOIN c0),
 a1 AS (SELECT vec_id, cid FROM (
          SELECT vec_id, cid,
@@ -536,8 +537,8 @@ m1e AS (SELECT a1.cid, generate_subscripts(e.v, 1) - 1 AS pos, unnest(e.v) AS x
 m1 AS (SELECT cid, pos, round(avg(x), {KM_ROUND}) AS c FROM m1e GROUP BY 1, 2),
 c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m1 GROUP BY cid),
 d2 AS (SELECT e.vec_id, c1.cid,
-         list_sum(list_transform(range(1, len(e.v) + 1),
-                                 i -> (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i]))) AS d
+         round(list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i]))), {KM_ROUND}) AS d
        FROM e CROSS JOIN c1),
 a2 AS (SELECT vec_id, cid FROM (
          SELECT vec_id, cid,

@@ -617,7 +617,9 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
     )
     vocab = terms.groupBy("term").agg(F.count("*").alias("tc"))
-    tot = terms.agg(F.count("*").alias("n_tok_corpus"))
+    # corpus token total folds out of the vocab aggregate — no third
+    # corpus scan (vocab is tiny; summing it is a broadcast-sized agg)
+    tot = vocab.agg(F.sum("tc").alias("n_tok_corpus"))
     per_doc = (
         terms.join(F.broadcast(vocab), "term")
         .crossJoin(F.broadcast(tot))
@@ -639,7 +641,7 @@ _ORACLE_UNIGRAM = f"""
 WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
            FROM documents),
 vocab AS (SELECT term, count(*) AS tc FROM t GROUP BY 1),
-tot AS (SELECT count(*) AS n FROM t),
+tot AS (SELECT sum(tc) AS n FROM vocab),
 per_doc AS (
   SELECT doc_id, source, round(avg(ln(tc / CAST(n AS DOUBLE))), 6) AS alp
   FROM t JOIN vocab USING (term) CROSS JOIN tot

@@ -36,8 +36,9 @@ def extract_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     its golden.parquet sidecar — the expected span sequence datagen
     computes from the generator spec, independent of the Spark path —
     so the whole decode→align→binarize→OCR→reassemble chain is
-    hash-checked, not just row-counted. media_ref coalesces to '' in
-    both twins: pandas materializes VARCHAR NULLs unpredictably."""
+    hash-checked, not just row-counted. media_ref and text (NULL on
+    failed media spans) coalesce to '' in both twins: pandas
+    materializes VARCHAR NULLs unpredictably."""
     data_dir = _entry_dataset_dir()
     docs, media = load_inputs(spark, data_dir)
     output, _ = run_extract(spark, docs, media, ExtractConfig())
@@ -49,7 +50,7 @@ def extract_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
-        F.col("s.text").alias("text"),
+        F.coalesce(F.col("s.text"), F.lit("")).alias("text"),
         F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
         F.col("s.order").alias("span_order"),
     )
@@ -252,7 +253,7 @@ def _media_oracles() -> dict[str, str]:
     golden = os.path.join(ENTRY_DS_DIR, "golden.parquet")
     return {
         "extract_pipeline": (
-            "SELECT doc_id, s.kind AS kind, s.text AS text, "
+            "SELECT doc_id, s.kind AS kind, coalesce(s.text, '') AS text, "
             "coalesce(s.media_ref, '') AS media_ref, s.\"order\" AS span_order "
             f"FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{golden}'))"
         ),
