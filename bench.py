@@ -57,6 +57,11 @@ HEADLINE = [
     "user_event_pivot",
     "range_join_event_pairs",
     "kmv_distinct_estimate",
+    "sequence_packing",
+    "source_mixture_weights",
+    # leakage_safe_split is excluded like neardup_components: both are
+    # CC-iteration-bound (many tiny jobs), oracle-checked but not a
+    # single-plan throughput headline
     "windowed_counts_append",
 ]
 

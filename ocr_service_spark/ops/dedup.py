@@ -393,20 +393,16 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the LSH candidate-pair graph — the
-    cluster-resolution step every dedup pipeline needs after candidate
-    generation (keep one doc per component).
-
-    Algorithm: iterative hash-to-min label propagation — every node
-    repeatedly adopts the minimum label in its closed neighborhood until
-    a fixpoint. Each iteration is one shuffle over the EDGE list (never
-    materializing components), and iterations are bounded by graph
-    diameter — the standard MapReduce/Spark CC shape that holds at
-    100 TB, unlike any per-component collect. The DuckDB oracle computes
-    the same fixpoint with a recursive CTE, so this ITERATIVE algorithm
-    is still exactly oracle-checked. Returns the component-size
-    histogram."""
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) connected-component fixpoint over the LSH
+    candidate-pair graph via iterative hash-to-min label propagation —
+    every node repeatedly adopts the minimum label in its closed
+    neighborhood. Each iteration is one shuffle over the EDGE list
+    (never materializing components), and iterations are bounded by
+    graph diameter — the standard MapReduce/Spark CC shape that holds
+    at 100 TB, unlike any per-component collect. The returned frame is
+    localCheckpointed (materialized, no lineage into the edge frames,
+    which are unpersisted before returning)."""
     edges = _lsh_edges(spark, sf_dir).persist()
     # symmetric closure once; labels start as the node id
     sym = edges.union(
@@ -454,16 +450,25 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"connected components did not converge within {CC_MAX_ITERS} "
             "label-propagation iterations (graph diameter exceeds the cap)"
         )
-    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
-    out = sizes.groupBy("size").agg(F.count("*").alias("n_components"))
-    result = out.persist()
-    result.count()
+    # labels is eagerly localCheckpointed — safe to release the inputs
     sym.unpersist()
     edges.unpersist()
-    return result
+    return labels
 
 
-_ORACLE_CC = f"""
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram over the near-dup graph — the
+    cluster-resolution step every dedup pipeline needs after candidate
+    generation (keep one doc per component). The iterative algorithm
+    lives in ``_cc_labels``; the DuckDB oracle computes the same
+    fixpoint with a recursive CTE, so the ITERATIVE algorithm is still
+    exactly oracle-checked."""
+    labels = _cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_components"))
+
+
+_CC_WALK_SQL = f"""
 WITH sig AS ({_minhash_sql()}),
 bands AS (
   SELECT doc_id, md5(concat(m0, '|', m1)) AS bucket FROM sig
@@ -496,7 +501,9 @@ walk AS (
     SELECT s.d1, r.label FROM r JOIN sym s ON s.d2 = r.node
   )
   SELECT node, min(label) AS label FROM r GROUP BY node
-),
+)"""
+
+_ORACLE_CC = f"""{_CC_WALK_SQL},
 sizes AS (SELECT label, count(*) AS size FROM walk GROUP BY label)
 SELECT size, count(*) AS n_components FROM sizes GROUP BY size
 """
@@ -520,4 +527,74 @@ ORACLES = {
     "ngram_jaccard_pairs": _ORACLE_JACCARD,
     "embedding_neardup": _emb_neardup_sql(),
     "neardup_components": _ORACLE_CC,
+}
+
+
+# --- leakage-safe train/val/test split -------------------------------------
+# split fractions: [0, TRAIN) train, [TRAIN, VAL) val, [VAL, 1) test
+SPLIT_TRAIN_FRAC = 0.90
+SPLIT_VAL_FRAC = 0.95
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe split assignment: the train/val/test decision
+    is a pure function of a document's near-dup COMPONENT id — not the
+    doc itself — so every member of a near-duplicate cluster lands in
+    the same split and no eval doc has a training-set twin (the
+    train-test leakage mode doc-level hashing cannot prevent; cf. Lee
+    et al. 2022 on duplicate-driven eval contamination). Docs outside
+    any LSH candidate pair are their own singleton component. The hash
+    is the portable md5-prefix fraction stratified_sample uses —
+    deterministic across engines, retries, and partitionings. Scale
+    shape: CC labels (one edge shuffle per iteration, diameter-bounded)
+    + one left join on the label frame (tiny next to the corpus —
+    only docs that appear in some candidate pair) + one rollup."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("tok")
+    )
+    labels = _cc_labels(spark, sf_dir)
+    keyed = (
+        docs.join(F.broadcast(labels), docs.doc_id == labels.node, "left")
+        .select("doc_id", "tok", F.coalesce("label", "doc_id").alias("key"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    split = (
+        F.when(u < SPLIT_TRAIN_FRAC, "train")
+        .when(u < SPLIT_VAL_FRAC, "val")
+        .otherwise("test")
+    )
+    return keyed.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("key").alias("n_clusters"),
+        F.sum("tok").alias("n_tokens"),
+    )
+
+
+_ORACLE_SPLIT = f"""{_CC_WALK_SQL},
+d AS (SELECT doc_id, len(string_split(text, ' ')) AS tok,
+             coalesce(w.label, doc_id) AS key
+      FROM documents LEFT JOIN walk w ON doc_id = w.node),
+u AS (SELECT tok, key,
+        CAST(concat('0x', substring(md5(CAST(key AS VARCHAR)), 1, 13)) AS BIGINT)
+          / CAST(POWER(16, 13) AS DOUBLE) AS u
+      FROM d)
+SELECT CASE WHEN u < {SPLIT_TRAIN_FRAC} THEN 'train'
+            WHEN u < {SPLIT_VAL_FRAC} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, count(DISTINCT key) AS n_clusters,
+       CAST(sum(tok) AS BIGINT) AS n_tokens
+FROM u GROUP BY 1
+"""
+
+
+EXTRA_QUERIES = {
+    "leakage_safe_split": q_leakage_safe_split,
+}
+
+EXTRA_ORACLES = {
+    "leakage_safe_split": _ORACLE_SPLIT,
 }

@@ -1,0 +1,129 @@
+"""Training-shard packing and source-mixture operators.
+
+The post-curation steps of an LLM data pipeline: pack the surviving
+documents into fixed token-budget training shards, and compute the
+per-source sampling weights that re-balance the token mixture. Both are
+pure DataFrame plans with DuckDB oracles.
+
+Scale notes: packing needs a GLOBAL running token total, and a naive
+`sum() OVER (ORDER BY doc_id)` window has an empty PARTITION BY — one
+reducer owns the whole corpus. The implementation here is the classic
+two-phase distributed prefix sum instead: per-bucket partial sums (tiny
+— one row per bucket) are collected and turned into exclusive bucket
+offsets on the driver, then every bucket computes its local running sum
+in parallel and adds its offset. The only window that runs partitions
+by bucket, so parallelism is the bucket count at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import load
+
+PACK_BUDGET = 512   # tokens per training shard
+PACK_BUCKETS = 32   # prefix-sum buckets (>= target parallelism at scale)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in deterministic doc_id order, no splitting) into
+    fixed token-budget shards: shard_id = floor(exclusive_prefix_tokens
+    / PACK_BUDGET). Greedy no-split packing — a doc straddling a budget
+    boundary stays whole in the shard its prefix starts in, so shard
+    token counts can exceed the budget by at most one doc. Returns the
+    per-shard doc/token rollup.
+
+    The global prefix sum is two-phase (module docstring): bucket =
+    floor(doc_id / width) preserves doc_id order across buckets, bucket
+    partials collect to the driver (PACK_BUCKETS rows — a model-update-
+    sized scalar exchange, same class as k-means centroids), and the
+    within-bucket window runs one partition per bucket in parallel. The
+    DuckDB oracle computes the same quantity with the single-reducer
+    global window, which is exactly what this plan avoids at scale."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("tok")
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    width = max(1, (int(max_id) + PACK_BUCKETS) // PACK_BUCKETS)
+    b = docs.withColumn("bucket", (F.col("doc_id") / F.lit(width)).cast("long"))
+    partials = b.groupBy("bucket").agg(F.sum("tok").alias("btok")).collect()
+    run = 0
+    offsets = []
+    for r in sorted(partials, key=lambda r: r["bucket"]):
+        offsets.append((r["bucket"], run))
+        run += r["btok"]
+    off_df = spark.createDataFrame(offsets, "bucket long, boff long")
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    cum = b.join(F.broadcast(off_df), "bucket").withColumn(
+        "gcum", F.col("boff") + F.sum("tok").over(w)
+    )
+    shard = F.floor((F.col("gcum") - F.col("tok")) / F.lit(PACK_BUDGET))
+    return (
+        cum.select(shard.alias("shard_id"), "tok")
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("shard_tokens"))
+    )
+
+
+_ORACLE_PACKING = f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT doc_id, tok,
+        sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS gcum
+      FROM t)
+SELECT CAST(floor((gcum - tok) / {PACK_BUDGET}) AS BIGINT) AS shard_id,
+       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS shard_tokens
+FROM c GROUP BY 1
+"""
+
+
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static mixture re-weighting: per-source token shares and the
+    sampling weight that moves the mixture to a uniform per-source token
+    budget (weight = target_share / actual_share — the DoReMi-style
+    reference-mixture computation with a uniform target). One aggregate
+    shuffle on source; the totals are a broadcast-sized scalar frame."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("tok")
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("tok").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n_sources")
+    )
+    share = F.col("n_tokens") / F.col("tot")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias(
+            "sample_weight"
+        ),
+    )
+
+
+_ORACLE_MIXTURE = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+               count(*) AS n_sources FROM per)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot, 6) AS token_share,
+       round((1.0 / n_sources) / (n_tokens / tot), 6) AS sample_weight
+FROM per CROSS JOIN tot
+"""
+
+
+QUERIES = {
+    "sequence_packing": q_sequence_packing,
+    "source_mixture_weights": q_source_mixture_weights,
+}
+
+ORACLES = {
+    "sequence_packing": _ORACLE_PACKING,
+    "source_mixture_weights": _ORACLE_MIXTURE,
+}

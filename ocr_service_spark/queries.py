@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .config import ExtractConfig
 from .datagen import ensure_dataset
-from .ops import dedup, relational, similarity, streaming, textstats
+from .ops import dedup, packing, relational, similarity, streaming, textstats
 from .pipeline.extract import load_inputs, run_extract
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry (they are covered by pytest/check_oracle either way)
     out.update(textstats.EXTRA_QUERIES)
     out.update(similarity.EXTRA_QUERIES)
+    out.update(dedup.EXTRA_QUERIES)
+    out.update(packing.QUERIES)
     return out
 
 
@@ -289,6 +291,8 @@ def oracle_sql() -> dict[str, str]:
     out["receipt_fields"] = RECEIPT_FIELDS_ORACLE
     out.update(textstats.EXTRA_ORACLES)
     out.update(similarity.EXTRA_ORACLES)
+    out.update(dedup.EXTRA_ORACLES)
+    out.update(packing.ORACLES)
     out.update(_media_oracles())
     # only structured_receipts stays rows-only (full LLM-schema output
     # with JSON+array columns); receipt_fields carries its SQL-
