@@ -40,12 +40,20 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-bucket window runs one partition per bucket in parallel. The
     DuckDB oracle computes the same quantity with the single-reducer
     global window, which is exactly what this plan avoids at scale."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).alias("tok")
+    # materialize the tokenized projection once: three downstream jobs
+    # (max, partials, final rollup) would otherwise each re-scan and
+    # re-split the text column. The checkpointed frame is 2 ints/doc —
+    # at 10^12 docs that is ~16 TB spread over the cluster
+    # (MEMORY_AND_DISK), vs 3× the full text scan without it; for a
+    # scan-cheaper tradeoff the projection can be recomputed instead.
+    t = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=True)
     )
-    max_id = docs.agg(F.max("doc_id")).first()[0]
+    max_id = t.agg(F.max("doc_id")).first()[0]
     width = max(1, (int(max_id) + PACK_BUCKETS) // PACK_BUCKETS)
-    b = docs.withColumn("bucket", (F.col("doc_id") / F.lit(width)).cast("long"))
+    b = t.withColumn("bucket", (F.col("doc_id") / F.lit(width)).cast("long"))
     partials = b.groupBy("bucket").agg(F.sum("tok").alias("btok")).collect()
     run = 0
     offsets = []
