@@ -466,3 +466,50 @@ ORACLES = {
     "event_props_json": _ORACLE_PROPS,
     "stateful_session_counts": _ORACLE_STATEFUL,
 }
+
+
+# --- streaming deduplication -----------------------------------------------
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type): the engine keeps per-key state and emits only
+    the first arrival, evicting state once the watermark passes a key's
+    event time — the bounded-state streaming analog of batch
+    dropDuplicates (state is O(live keys within the watermark horizon),
+    never O(stream)). The staged source is one file → one micro-batch,
+    and the watermark only advances BETWEEN micro-batches, so no state
+    is evicted during the replay and the kept set is exactly the global
+    key-distinct — which makes the query DuckDB-oracle-checkable. The
+    per-type rollup happens batch-side on the drained result (which of
+    the duplicate rows survives is arrival-order-dependent; the KEY
+    count is dedup-invariant)."""
+    stream = _staged_events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    kept = _drain_to_df(spark, deduped, "streaming_dedup_sink", "append")
+    totals = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_total"))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count("*").alias("n_kept"))
+        .join(totals, "event_type")
+    )
+
+
+_ORACLE_STREAM_DEDUP = """
+SELECT event_type, count(DISTINCT user_id) AS n_kept, count(*) AS n_total
+FROM events GROUP BY event_type
+"""
+
+
+EXTRA_QUERIES = {
+    "streaming_dedup": q_streaming_dedup,
+}
+
+EXTRA_ORACLES = {
+    "streaming_dedup": _ORACLE_STREAM_DEDUP,
+}

@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.EXTRA_QUERIES)
     out.update(dedup.EXTRA_QUERIES)
     out.update(packing.QUERIES)
+    out.update(streaming.EXTRA_QUERIES)
     return out
 
 
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.EXTRA_ORACLES)
     out.update(dedup.EXTRA_ORACLES)
     out.update(packing.ORACLES)
+    out.update(streaming.EXTRA_ORACLES)
     out.update(_media_oracles())
     # only structured_receipts stays rows-only (full LLM-schema output
     # with JSON+array columns); receipt_fields carries its SQL-

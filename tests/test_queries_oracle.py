@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-11:] == [
+    assert names[-12:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -58,6 +58,7 @@ def test_registry_consistency():
         "leakage_safe_split",
         "sequence_packing",
         "source_mixture_weights",
+        "streaming_dedup",
     ]
 
 

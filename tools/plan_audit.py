@@ -24,6 +24,7 @@ SKIP = {
     "windowed_counts_append",
     "session_windows",
     "stateful_session_counts",
+    "streaming_dedup",
     "extract_pipeline",
     "media_metadata",
     "media_thumbnails",
