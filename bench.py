@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_ivf_cells",  # index build (persists the assignment) ...
     "ann_ivf_probe",  # ... then the probe scans the in-memory index
     "kmeans_clusters",
+    "ann_recall",
     "sessionization",
     "event_props_json",
     "asof_last_order",

@@ -551,12 +551,150 @@ GROUP BY a2.cid
 """
 
 
+# --- ANN recall measurement ------------------------------------------------
+ANN_RECALL_NQ = 16  # sampled query panel size
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the sign-LSH bucketed ANN against exact brute force,
+    measured over a panel of ANN_RECALL_NQ query vectors — the index-
+    quality number an ANN deployment must measure rather than assume.
+    Per query: exact top-K by cosine over the whole corpus, bucketed
+    top-K over the query's LSH bucket, recall = |intersection| / K.
+
+    Two index arms are measured side by side: single-probe (the
+    query's own bucket) and multi-probe at Hamming distance ≤ 1 (the
+    bucket plus its `bits` one-bit-flip neighbors — the classic
+    multi-probe LSH tradeoff: ~(bits+1)× the candidate scan for a
+    recall jump). On a corpus with little neighborhood structure the
+    single-probe number degrades toward the bucket mass fraction —
+    which is exactly what this panel exists to surface before anyone
+    trusts the index.
+
+    Scale shape: the query panel broadcasts (NQ rows), both arms rank
+    with a window PARTITIONED BY query id (parallel across queries,
+    never a global sort), and the exact arm costs O(NQ·n) — the
+    irreducible price of ground truth, kept linear in n by the fixed
+    sampled panel."""
+    emb_raw = load(spark, sf_dir, "embeddings")
+    bits = _lsh_bits(emb_raw.count())
+    emb = emb_raw.select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+        _bucket_expr_spark(F.col("embedding"), bits).alias("bucket"),
+    ).withColumn("nv", _norm("v"))
+    qs = emb.filter(F.col("vec_id") < ANN_RECALL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    # Hamming distance between the candidate's and the query's sign
+    # buckets (equal-length strings of '+'/'-'; bits known at plan time)
+    ham = sum(
+        (
+            F.substring(F.col("bucket"), i, 1) != F.substring(F.col("qb"), i, 1)
+        ).cast("int")
+        for i in range(1, bits + 1)
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            ham.alias("ham"),
+            (dot / (F.col("nv") * F.col("qn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+
+    def _topk(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("qid", F.col("vec_id").alias("avid"))
+        )
+
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    ann1 = _topk(pairs.filter(F.col("ham") == 0))
+    annm = _topk(pairs.filter(F.col("ham") <= 1))
+
+    def _recall(ann, hit_name):
+        hits = exact.join(
+            ann, (exact.qid == ann.qid) & (exact.vec_id == ann.avid), "left"
+        ).select(exact.qid.alias("qid"), ann.avid.alias("hit"))
+        return hits.groupBy("qid").agg(
+            F.count("hit").alias(f"n_hits{hit_name}"),
+            F.round(F.count("hit") / F.lit(TOP_K), 4).alias(f"recall{hit_name}"),
+        )
+
+    return _recall(ann1, "").join(_recall(annm, "_mp"), "qid")
+
+
+_ORACLE_ANN_RECALL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
+         {_BUCKET_SQL_DYNAMIC} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, nv AS qn, bucket AS qb
+      FROM e WHERE vec_id < {ANN_RECALL_NQ}),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         list_sum(list_transform(range(1, len(e.bucket) + 1),
+           i -> CASE WHEN substring(e.bucket, i, 1) != substring(q.qb, i, 1)
+                THEN 1 ELSE 0 END)) AS ham,
+         list_sum(list_transform(list_zip(e.v, q.qv),
+                  p -> p[1] * p[2])) / (e.nv * q.qn) AS cos
+  FROM e, q WHERE e.vec_id != q.qid
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+    FROM pairs) WHERE rn <= {TOP_K}
+),
+ann1 AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+    FROM pairs WHERE ham = 0) WHERE rn <= {TOP_K}
+),
+annm AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+    FROM pairs WHERE ham <= 1) WHERE rn <= {TOP_K}
+)
+SELECT x.qid, count(a1.vec_id) AS n_hits,
+       round(count(a1.vec_id) / CAST({TOP_K} AS DOUBLE), 4) AS recall,
+       count(am.vec_id) AS n_hits_mp,
+       round(count(am.vec_id) / CAST({TOP_K} AS DOUBLE), 4) AS recall_mp
+FROM exact x
+LEFT JOIN ann1 a1 ON x.qid = a1.qid AND x.vec_id = a1.vec_id
+LEFT JOIN annm am ON x.qid = am.qid AND x.vec_id = am.vec_id
+GROUP BY x.qid
+"""
+
+
 EXTRA_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
+    "ann_recall": q_ann_recall,
 }
 
 EXTRA_ORACLES = {
     "kmeans_clusters": _ORACLE_KMEANS,
+    "ann_recall": _ORACLE_ANN_RECALL,
 }
 
 

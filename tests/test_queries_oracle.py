@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-12:] == [
+    assert names[-13:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -55,6 +55,7 @@ def test_registry_consistency():
         "decontam_hits",
         "unigram_logprob",
         "kmeans_clusters",
+        "ann_recall",
         "leakage_safe_split",
         "sequence_packing",
         "source_mixture_weights",
