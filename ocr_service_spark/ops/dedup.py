@@ -547,14 +547,30 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the portable md5-prefix fraction stratified_sample uses —
     deterministic across engines, retries, and partitionings. Scale
     shape: CC labels (one edge shuffle per iteration, diameter-bounded)
-    + one left join on the label frame (tiny next to the corpus —
-    only docs that appear in some candidate pair) + one rollup."""
+    + one left join on the label frame + one rollup. The label join
+    carries NO broadcast hint on purpose: labels holds every doc that
+    appears in any LSH candidate pair, which in a high-duplication
+    corpus (the regime dedup pipelines exist for) is O(corpus) rows —
+    AQE picks broadcast when the frame is actually small and a shuffle
+    join when it isn't."""
+    return _split_assignment(spark, sf_dir).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("key").alias("n_clusters"),
+        F.sum("tok").alias("n_tokens"),
+    )
+
+
+def _split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level (doc_id, tok, key, split) frame q_leakage_safe_split
+    aggregates — exposed so tests can assert the same-split-per-
+    component property on the operator's OWN assignments rather than a
+    re-derivation of the rule."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("tok")
     )
     labels = _cc_labels(spark, sf_dir)
     keyed = (
-        docs.join(F.broadcast(labels), docs.doc_id == labels.node, "left")
+        docs.join(labels, docs.doc_id == labels.node, "left")
         .select("doc_id", "tok", F.coalesce("label", "doc_id").alias("key"))
     )
     u = (
@@ -567,11 +583,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(u < SPLIT_VAL_FRAC, "val")
         .otherwise("test")
     )
-    return keyed.groupBy(split.alias("split")).agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("key").alias("n_clusters"),
-        F.sum("tok").alias("n_tokens"),
-    )
+    return keyed.select("doc_id", "tok", "key", split.alias("split"))
 
 
 _ORACLE_SPLIT = f"""{_CC_WALK_SQL},

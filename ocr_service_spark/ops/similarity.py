@@ -612,25 +612,30 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
 
+    # single ranking definition for all three arms: a tiebreak or
+    # rounding change can never diverge between baseline and index
     def _topk(df):
         return (
             df.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= TOP_K)
-            .select("qid", F.col("vec_id").alias("avid"))
+            .select("qid", "vec_id")
         )
 
-    exact = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("qid", "vec_id")
-    )
+    exact = _topk(pairs)
     ann1 = _topk(pairs.filter(F.col("ham") == 0))
     annm = _topk(pairs.filter(F.col("ham") <= 1))
 
     def _recall(ann, hit_name):
-        hits = exact.join(
-            ann, (exact.qid == ann.qid) & (exact.vec_id == ann.avid), "left"
-        ).select(exact.qid.alias("qid"), ann.avid.alias("hit"))
+        # explicit aliases: the frames share lineage (all derive from
+        # pairs), and an unaliased qid==qid predicate would lean on
+        # Spark's ambiguous-self-join rescue instead of being unambiguous
+        x, a = exact.alias("x"), ann.alias("a")
+        hits = x.join(
+            a,
+            (F.col("x.qid") == F.col("a.qid"))
+            & (F.col("x.vec_id") == F.col("a.vec_id")),
+            "left",
+        ).select(F.col("x.qid").alias("qid"), F.col("a.vec_id").alias("hit"))
         return hits.groupBy("qid").agg(
             F.count("hit").alias(f"n_hits{hit_name}"),
             F.round(F.count("hit") / F.lit(TOP_K), 4).alias(f"recall{hit_name}"),

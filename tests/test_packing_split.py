@@ -75,6 +75,24 @@ def test_split_is_leakage_safe_and_exhaustive(spark):
     )
     assert multi > 0, "test corpus has no near-dup components to protect"
 
+    # the property itself, asserted on the operator's OWN row-level
+    # assignments: every member of a CC component (grouped by the
+    # component label from the fixpoint, NOT by the operator's key)
+    # must land in one split. A regression to doc-level keys would
+    # fail here, not just drift the aggregate.
+    from ocr_service_spark.ops.dedup import _split_assignment
+
+    per_doc = _split_assignment(spark, SF_DIR).alias("pd")
+    lbl = labels.alias("l")
+    mixed = (
+        per_doc.join(lbl, F.col("pd.doc_id") == F.col("l.node"))
+        .groupBy("l.label")
+        .agg(F.countDistinct("pd.split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert mixed == 0
+
     out = {r["split"]: r for r in q_leakage_safe_split(spark, SF_DIR).collect()}
     n_docs = load(spark, SF_DIR, "documents").count()
     assert sum(r["n_docs"] for r in out.values()) == n_docs
