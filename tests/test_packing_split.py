@@ -116,3 +116,21 @@ def test_mixture_weights_form(spark):
     for r in rows:
         # weight * share == target uniform share
         assert abs(r["sample_weight"] * r["token_share"] - 1.0 / len(rows)) < 1e-4
+
+
+def test_packing_invariant_to_bucket_count(spark, monkeypatch):
+    """The two-phase prefix sum is an implementation detail: the shard
+    layout must not depend on how many buckets carry the partial sums."""
+    import ocr_service_spark.ops.packing as P
+
+    def run():
+        return sorted(
+            (r["shard_id"], r["n_docs"], r["shard_tokens"])
+            for r in P.q_sequence_packing(spark, SF_DIR).collect()
+        )
+
+    base = run()
+    monkeypatch.setattr(P, "PACK_BUCKETS", 1)
+    assert run() == base
+    monkeypatch.setattr(P, "PACK_BUCKETS", 7)
+    assert run() == base
