@@ -610,14 +610,25 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot / (F.col("nv") * F.col("qn"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
-
     # single ranking definition for all three arms: a tiebreak or
-    # rounding change can never diverge between baseline and index
+    # rounding change can never diverge between baseline and index.
+    # Two-level top-K: a window partitioned ONLY by qid would sort all
+    # n candidate rows of a query in one task (NQ tasks total — a
+    # scale-breaker); instead each input partition keeps its local
+    # top-K per qid in parallel, then the final window ranks the tiny
+    # K×P survivor set. Top-K is associative, so the result is
+    # placement-independent (ties broken by vec_id).
     def _topk(df):
-        return (
-            df.withColumn("rn", F.row_number().over(w))
+        w1 = Window.partitionBy("qid", "part").orderBy(F.desc("cos"), "vec_id")
+        w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+        local = (
+            df.withColumn("part", F.spark_partition_id())
+            .withColumn("rn", F.row_number().over(w1))
             .filter(F.col("rn") <= TOP_K)
+        )
+        return (
+            local.withColumn("rn2", F.row_number().over(w2))
+            .filter(F.col("rn2") <= TOP_K)
             .select("qid", "vec_id")
         )
 
