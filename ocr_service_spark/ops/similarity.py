@@ -275,12 +275,18 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted ascending). At 10^12 vectors K = 10^6 — the centroid matrix
     would be chunked (tiled matmul) rather than held whole, same shape
     otherwise."""
-    from pyspark.sql import types as T
-
-    _, cent_mat, cent_ids, cent_norm = _ivf_model(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    assign = _ivf_assign_udf(spark, sf_dir)
+    return emb.select("vec_id", "v", assign("v").alias("cid"))
+
+
+def _ivf_assign_udf(spark: SparkSession, sf_dir: str):
+    """The coarse-quantizer assignment as a reusable pandas UDF (BLAS
+    matmul against the broadcast centroid matrix, one row out per row
+    in) — shared by the cell builder and the recall panel."""
+    _, cent_mat, cent_ids, cent_norm = _ivf_model(spark, sf_dir)
 
     @F.pandas_udf(T.LongType())
     def assign(vs: pd.Series) -> pd.Series:
@@ -292,7 +298,7 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.Series(cent_ids[np.argmax(cos, axis=1)])
 
-    return emb.select("vec_id", "v", assign("v").alias("cid"))
+    return assign
 
 
 def _ivf_cells_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,14 +568,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per query: exact top-K by cosine over the whole corpus, bucketed
     top-K over the query's LSH bucket, recall = |intersection| / K.
 
-    Two index arms are measured side by side: single-probe (the
-    query's own bucket) and multi-probe at Hamming distance ≤ 1 (the
+    Three index arms are measured side by side: LSH single-probe (the
+    query's own bucket), LSH multi-probe at Hamming distance ≤ 1 (the
     bucket plus its `bits` one-bit-flip neighbors — the classic
-    multi-probe LSH tradeoff: ~(bits+1)× the candidate scan for a
-    recall jump). On a corpus with little neighborhood structure the
-    single-probe number degrades toward the bucket mass fraction —
-    which is exactly what this panel exists to surface before anyone
-    trusts the index.
+    multi-probe tradeoff: ~(bits+1)× the candidate scan for a recall
+    jump), and IVF nprobe=1 (the query's own coarse cell, assignment
+    via the same pandas-UDF argmax the index builder uses). On a corpus
+    with little neighborhood structure the single-probe numbers degrade
+    toward the bucket/cell mass fraction — which is exactly what this
+    panel exists to surface before anyone trusts an index.
 
     Scale shape: the query panel broadcasts (NQ rows), both arms rank
     with a window PARTITIONED BY query id (parallel across queries,
@@ -578,16 +585,22 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled panel."""
     emb_raw = load(spark, sf_dir, "embeddings")
     bits = _lsh_bits(emb_raw.count())
-    emb = emb_raw.select(
-        "vec_id",
-        _as_double("embedding").alias("v"),
-        _bucket_expr_spark(F.col("embedding"), bits).alias("bucket"),
-    ).withColumn("nv", _norm("v"))
+    assign = _ivf_assign_udf(spark, sf_dir)
+    emb = (
+        emb_raw.select(
+            "vec_id",
+            _as_double("embedding").alias("v"),
+            _bucket_expr_spark(F.col("embedding"), bits).alias("bucket"),
+        )
+        .withColumn("nv", _norm("v"))
+        .withColumn("cid", assign("v"))
+    )
     qs = emb.filter(F.col("vec_id") < ANN_RECALL_NQ).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("nv").alias("qn"),
         F.col("bucket").alias("qb"),
+        F.col("cid").alias("qc"),
     )
     dot = F.aggregate(
         F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -607,6 +620,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "vec_id",
             ham.alias("ham"),
+            (F.col("cid") == F.col("qc")).alias("same_cell"),
             (dot / (F.col("nv") * F.col("qn"))).alias("cos"),
         )
     )
@@ -635,6 +649,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _topk(pairs)
     ann1 = _topk(pairs.filter(F.col("ham") == 0))
     annm = _topk(pairs.filter(F.col("ham") <= 1))
+    annivf = _topk(pairs.filter(F.col("same_cell")))
 
     def _recall(ann, hit_name):
         # explicit aliases: the frames share lineage (all derive from
@@ -652,27 +667,31 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.lit(TOP_K), 4).alias(f"recall{hit_name}"),
         )
 
-    return _recall(ann1, "").join(_recall(annm, "_mp"), "qid")
+    return (
+        _recall(ann1, "")
+        .join(_recall(annm, "_mp"), "qid")
+        .join(_recall(annivf, "_ivf"), "qid")
+    )
 
 
-_ORACLE_ANN_RECALL = f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
-         {_BUCKET_SQL_DYNAMIC} AS bucket
-  FROM embeddings
+_ORACLE_ANN_RECALL = _IVF_CELLS_SQL + f""",
+b AS (SELECT vec_id, {_BUCKET_SQL_DYNAMIC} AS bucket FROM embeddings),
+ce AS (
+  SELECT cells.vec_id, cells.embedding AS v, cells.nrm AS nv,
+         cells.cid, b.bucket
+  FROM cells JOIN b USING (vec_id)
 ),
-q AS (SELECT vec_id AS qid, v AS qv, nv AS qn, bucket AS qb
-      FROM e WHERE vec_id < {ANN_RECALL_NQ}),
+q AS (SELECT vec_id AS qid, v AS qv, nv AS qn, bucket AS qb, cid AS qc
+      FROM ce WHERE vec_id < {ANN_RECALL_NQ}),
 pairs AS (
-  SELECT q.qid, e.vec_id,
-         list_sum(list_transform(range(1, len(e.bucket) + 1),
-           i -> CASE WHEN substring(e.bucket, i, 1) != substring(q.qb, i, 1)
+  SELECT q.qid, ce.vec_id,
+         list_sum(list_transform(range(1, len(ce.bucket) + 1),
+           i -> CASE WHEN substring(ce.bucket, i, 1) != substring(q.qb, i, 1)
                 THEN 1 ELSE 0 END)) AS ham,
-         list_sum(list_transform(list_zip(e.v, q.qv),
-                  p -> p[1] * p[2])) / (e.nv * q.qn) AS cos
-  FROM e, q WHERE e.vec_id != q.qid
+         ce.cid = q.qc AS same_cell,
+         list_sum(list_transform(list_zip(ce.v, q.qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (ce.nv * q.qn) AS cos
+  FROM ce, q WHERE ce.vec_id != q.qid
 ),
 exact AS (
   SELECT qid, vec_id FROM (
@@ -691,14 +710,23 @@ annm AS (
     SELECT qid, vec_id,
            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
     FROM pairs WHERE ham <= 1) WHERE rn <= {TOP_K}
+),
+annivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+    FROM pairs WHERE same_cell) WHERE rn <= {TOP_K}
 )
 SELECT x.qid, count(a1.vec_id) AS n_hits,
        round(count(a1.vec_id) / CAST({TOP_K} AS DOUBLE), 4) AS recall,
        count(am.vec_id) AS n_hits_mp,
-       round(count(am.vec_id) / CAST({TOP_K} AS DOUBLE), 4) AS recall_mp
+       round(count(am.vec_id) / CAST({TOP_K} AS DOUBLE), 4) AS recall_mp,
+       count(ai.vec_id) AS n_hits_ivf,
+       round(count(ai.vec_id) / CAST({TOP_K} AS DOUBLE), 4) AS recall_ivf
 FROM exact x
 LEFT JOIN ann1 a1 ON x.qid = a1.qid AND x.vec_id = a1.vec_id
 LEFT JOIN annm am ON x.qid = am.qid AND x.vec_id = am.vec_id
+LEFT JOIN annivf ai ON x.qid = ai.qid AND x.vec_id = ai.vec_id
 GROUP BY x.qid
 """
 
