@@ -39,6 +39,7 @@ HEADLINE = [
     "repetition_filter",
     "decontam_hits",
     "unigram_logprob",
+    "cms_token_counts",
     "minhash_lsh_buckets",
     "simhash_histogram",
     "ngram_jaccard_pairs",

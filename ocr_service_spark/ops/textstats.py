@@ -669,3 +669,108 @@ EXTRA_ORACLES = {
     "decontam_hits": _ORACLE_DECONTAM,
     "unigram_logprob": _ORACLE_UNIGRAM,
 }
+
+
+# --- Count-Min sketch token counts -----------------------------------------
+CMS_D = 4     # hash rows
+CMS_W = 256   # counters per row
+CMS_PROBE_K = 10
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the token stream — the mergeable
+    fixed-size frequency summary (Cormode & Muthukrishnan 2005) a
+    100 TB pipeline keeps when exact per-token counts are too wide:
+    CMS_D×CMS_W counters total, each a SUM, so partial sketches from
+    any partitioning merge by addition and the result is stream-order
+    independent (unlike Misra-Gries). Estimates are min over the D
+    rows and overestimate by construction — the output carries exact
+    and estimated counts for the top-K tokens side by side, so the
+    sketch's error is MEASURED against ground truth in the same query.
+    Hashes are the portable md5-prefix construction shared with
+    stratified_sample. Shapes: one tf shuffle for the exact top-K, one
+    D×W-cell aggregate for the sketch (map-side partials do almost all
+    the work), broadcast joins for the probe."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    def cell(tok_col, d: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{d}:"), tok_col)), 1, 13), 16, 10
+            ).cast("long")
+            % CMS_W
+        )
+
+    rows = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), cell(F.col("tok"), d).alias("c")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.c")
+    counters = rows.groupBy("d", "c").agg(F.count("*").alias("n"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(CMS_PROBE_K)
+    )
+    probe = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), cell(F.col("tok"), d).alias("c")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("tok", "exact_n", "s.d", "s.c")
+    est = (
+        probe.join(F.broadcast(counters), ["d", "c"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("n").alias("cms_n"))
+    )
+    return est.select(
+        "tok", "exact_n", "cms_n", (F.col("cms_n") - F.col("exact_n")).alias("overestimate")
+    )
+
+
+def _cms_cell_sql(tok_expr: str, d: int) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(concat('{d}:', {tok_expr})), 1, 13)) "
+        f"AS BIGINT) % {CMS_W}"
+    )
+
+
+_ORACLE_CMS = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+cells AS (
+  {" UNION ALL ".join(f"SELECT {d} AS d, {_cms_cell_sql('tok', d)} AS c FROM t" for d in range(CMS_D))}
+),
+counters AS (SELECT d, c, count(*) AS n FROM cells GROUP BY 1, 2),
+exact AS (
+  SELECT tok, count(*) AS exact_n FROM t GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT {CMS_PROBE_K}
+),
+probe AS (
+  {" UNION ALL ".join(f"SELECT tok, exact_n, {d} AS d, {_cms_cell_sql('tok', d)} AS c FROM exact" for d in range(CMS_D))}
+)
+SELECT p.tok, p.exact_n, min(co.n) AS cms_n,
+       min(co.n) - p.exact_n AS overestimate
+FROM probe p JOIN counters co USING (d, c)
+GROUP BY p.tok, p.exact_n
+"""
+
+
+EXTRA_QUERIES["cms_token_counts"] = q_cms_token_counts
+EXTRA_ORACLES["cms_token_counts"] = _ORACLE_CMS

@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-13:] == [
+    assert names[-14:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -54,6 +54,7 @@ def test_registry_consistency():
         "repetition_filter",
         "decontam_hits",
         "unigram_logprob",
+        "cms_token_counts",
         "kmeans_clusters",
         "ann_recall",
         "leakage_safe_split",
