@@ -559,6 +559,7 @@ GROUP BY a2.cid
 
 # --- ANN recall measurement ------------------------------------------------
 ANN_RECALL_NQ = 16  # sampled query panel size
+_RECALL_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,6 +625,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot / (F.col("nv") * F.col("qn"))).alias("cos"),
         )
     )
+    # four arms rank this frame; without the persist each arm re-scans,
+    # re-crossjoins, and re-scores (the arm filters sit below the window
+    # exchanges, so Spark cannot reuse them). Cached per (session,
+    # dataset) like the IVF cell assignment so repeat panel runs reuse
+    # ONE persisted frame instead of leaking a new cache entry per call.
+    key = _ivf_cache_key(spark, sf_dir)
+    cached = _RECALL_PAIRS_CACHE.get(key)
+    if cached is None:
+        cached = pairs.persist()
+        _RECALL_PAIRS_CACHE[key] = cached
+    pairs = cached
     # single ranking definition for all three arms: a tiebreak or
     # rounding change can never diverge between baseline and index.
     # Two-level top-K: a window partitioned ONLY by qid would sort all
