@@ -1,9 +1,15 @@
 """spark-submit entry point for the extraction job.
 
-Usage (cluster):
-    spark-submit --py-files ocr_service_spark.zip -m ocr_service_spark.job ...
+Usage (cluster — spark-submit takes a script path, not -m; the thin
+driver tools/submit_job.py is that script and this module is its body):
+    python tools/make_pyfiles.py dist/ocr_service_spark.zip
+    spark-submit --master ... --py-files dist/ocr_service_spark.zip \
+        tools/submit_job.py --data-dir DIR --out-dir DIR ...
 Locally:
     python -m ocr_service_spark.job --data-dir DIR --out-dir DIR [--master local[32]]
+
+tests/test_spark_submit.py drives the real spark-submit binary through
+this path from a neutral cwd and golden-checks the output.
 
 Reads documents.parquet + media.parquet from --data-dir, runs the
 checkpointed extraction pipeline, writes extracted/ + _checkpoint/ under
