@@ -130,6 +130,7 @@ def orchestrate(
     seed: int = 42,
     media_scale: int = 4,
     trials: int = 2,
+    surface: str = "python",
 ) -> dict:
     from ocr_service_spark.datagen import ensure_dataset
 
@@ -143,15 +144,38 @@ def orchestrate(
     ensure_dataset(data_dir, n_docs, seed, media_scale)
     ensure_dataset(warmup_dir, 400, seed + 1, media_scale)
 
+    # --surface spark-submit: launch each cold-JVM worker through the
+    # REAL spark-submit --py-files deployment path (the north rule's
+    # literal run mode) instead of a plain python subprocess. Same
+    # worker, same warmup protocol — only the launcher differs.
+    pyfiles_zip = None
+    if surface == "spark-submit":
+        import shutil as _sh
+
+        spark_submit = _sh.which("spark-submit") or "/opt/spark/bin/spark-submit"
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from make_pyfiles import build
+
+        pyfiles_zip = build(os.path.join(REPO, "dist", "ocr_service_spark.zip"))
+
     runs = []
     for cores in levels:
         best = None
         for trial in range(trials):
-            cmd = [
-                sys.executable, os.path.abspath(__file__),
-                "--worker", "--cores", str(cores),
-                "--data-dir", data_dir, "--warmup-dir", warmup_dir,
-            ]
+            if surface == "spark-submit":
+                cmd = [
+                    spark_submit, "--master", f"local[{cores}]",
+                    "--py-files", pyfiles_zip,
+                    os.path.abspath(__file__),
+                    "--worker", "--cores", str(cores),
+                    "--data-dir", data_dir, "--warmup-dir", warmup_dir,
+                ]
+            else:
+                cmd = [
+                    sys.executable, os.path.abspath(__file__),
+                    "--worker", "--cores", str(cores),
+                    "--data-dir", data_dir, "--warmup-dir", warmup_dir,
+                ]
             out = subprocess.run(
                 cmd, capture_output=True, text=True, cwd=REPO, check=True
             )
@@ -204,6 +228,7 @@ def orchestrate(
         None,
     )
     result = {
+        "surface": surface,
         "n_docs": n_docs,
         "seed": seed,
         "media_scale": media_scale,
@@ -218,9 +243,15 @@ def orchestrate(
         "target": 0.8,
         "passes": (eff_norm if eff_norm is not None else eff_docs) >= 0.8,
     }
-    with open(RESULT_PATH, "w") as f:
+    out_path = (
+        RESULT_PATH
+        if surface == "python"
+        else os.path.join(REPO, "BENCH_scaling_submit.json")
+    )
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
-    _write_markdown(result)
+    if surface == "python":
+        _write_markdown(result)
     print(json.dumps(result))
     return result
 
@@ -292,6 +323,11 @@ def main() -> int:
     p.add_argument("--levels", default="4,8,16,32")
     p.add_argument("--media-scale", type=int, default=4)
     p.add_argument("--trials", type=int, default=2)
+    p.add_argument(
+        "--surface", choices=("python", "spark-submit"), default="python",
+        help="worker launcher: plain python subprocess or the real "
+        "spark-submit --py-files deployment path",
+    )
     args = p.parse_args()
     if args.worker:
         worker(args.cores, args.data_dir, args.warmup_dir)
@@ -301,6 +337,7 @@ def main() -> int:
         [int(x) for x in args.levels.split(",")],
         media_scale=args.media_scale,
         trials=args.trials,
+        surface=args.surface,
     )
     return 0
 
