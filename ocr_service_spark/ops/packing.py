@@ -52,6 +52,10 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     max_id = t.agg(F.max("doc_id")).first()[0]
+    if max_id is None:  # empty corpus: zero shards, stable schema
+        return spark.createDataFrame(
+            [], "shard_id long, n_docs long, shard_tokens long"
+        )
     width = max(1, (int(max_id) + PACK_BUCKETS) // PACK_BUCKETS)
     b = t.withColumn("bucket", (F.col("doc_id") / F.lit(width)).cast("long"))
     partials = b.groupBy("bucket").agg(F.sum("tok").alias("btok")).collect()

@@ -134,3 +134,24 @@ def test_packing_invariant_to_bucket_count(spark, monkeypatch):
     assert run() == base
     monkeypatch.setattr(P, "PACK_BUCKETS", 7)
     assert run() == base
+
+
+def test_packing_empty_corpus(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_service_spark.ops.packing import q_sequence_packing
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(empty, str(tmp_path / "documents.parquet"))
+    out = q_sequence_packing(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["shard_id", "n_docs", "shard_tokens"]
