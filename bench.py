@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_lsh_probe",
     "ann_ivf_cells",  # index build (persists the assignment) ...
     "ann_ivf_probe",  # ... then the probe scans the in-memory index
+    "semantic_dedup",  # reuses the same persisted cell assignment
     "kmeans_clusters",
     "ann_recall",
     "sessionization",

@@ -603,10 +603,96 @@ FROM u GROUP BY 1
 """
 
 
+# --- semantic dedup (cluster-scoped, SemDeDup-style) ------------------------
+SEMDEDUP_TAU = 0.3  # cosine threshold; production SemDeDup uses ~0.95 —
+                    # the synthetic corpus's planted near-dups sit lower,
+                    # and the operator shape is identical at any tau
+SEMDEDUP_TILE = 1024  # row tile for the in-cell cosine matmul: memory per
+                      # task stays O(tile·m + m·d) even on a skewed cell
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped semantic dedup (the SemDeDup layout, Abbas et al.
+    2023, arXiv:2303.09540): assign every embedding to its IVF coarse
+    cell (K = √n seed centroids, shared with the ANN index — one
+    pandas-UDF argmax pass, one row out per row in), then resolve
+    duplicates WITHIN each cell via ``applyInPandas``: one task per
+    cell computes the m×m cosine matrix in tiles and marks a vector as
+    a duplicate iff some lower-vec_id cell-mate has cosine ≥ tau (the
+    deterministic keep-first rule). Output is the per-cell dedup ledger
+    (members / duplicates / kept).
+
+    Scale shape: ONE shuffle on cid, and the pairwise scores never
+    materialize as rows — the n²/K candidate space stays inside the
+    kernel's tiled matmul (BLAS), with only K ledger rows out. That is
+    the property that makes SemDeDup run at 100 TB where a pair-join
+    would not; cells are ~√n so per-task work is O(n) floats, tiled.
+    The DuckDB oracle re-derives the same ledger declaratively (cell
+    CTE + pair join), so the kernel's keep-first semantics are exactly
+    hash-checked, not just row-counted."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _ivf_cells_cached
+
+    cells = _ivf_cells_cached(spark, sf_dir)  # vec_id, v, cid
+
+    def ledger(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        n = x.shape[0]
+        nrm = np.sqrt((x * x).sum(axis=1))
+        dup = np.zeros(n, dtype=bool)
+        col = np.arange(n)
+        for lo in range(0, n, SEMDEDUP_TILE):
+            hi = min(lo + SEMDEDUP_TILE, n)
+            cos = (x[lo:hi] @ x.T) / (nrm[lo:hi, None] * nrm[None, :])
+            # round before the threshold so BLAS-vs-list_sum summation
+            # ulps can't flip a boundary pair between engines
+            hit = np.round(cos, 6) >= SEMDEDUP_TAU
+            earlier = col[None, :] < np.arange(lo, hi)[:, None]
+            dup[lo:hi] = (hit & earlier).any(axis=1)
+        n_dups = int(dup.sum())
+        return pd.DataFrame(
+            {
+                "cid": [int(pdf["cid"].iloc[0])],
+                "n_vectors": [n],
+                "n_dups": [n_dups],
+                "n_kept": [n - n_dups],
+            }
+        )
+
+    return cells.groupBy("cid").applyInPandas(
+        ledger, "cid long, n_vectors long, n_dups long, n_kept long"
+    )
+
+
+def _semdedup_sql() -> str:
+    from .similarity import _IVF_CELLS_SQL
+
+    return f"""{_IVF_CELLS_SQL},
+dups AS (
+  SELECT DISTINCT a.cid, b.vec_id AS dup_id
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6)
+        >= {SEMDEDUP_TAU}
+),
+d AS (SELECT cid, count(*) AS n_dups FROM dups GROUP BY cid),
+m AS (SELECT cid, count(*) AS n_vectors FROM cells GROUP BY cid)
+SELECT m.cid, m.n_vectors,
+       CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+       m.n_vectors - CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_kept
+FROM m LEFT JOIN d USING (cid)
+"""
+
+
 EXTRA_QUERIES = {
     "leakage_safe_split": q_leakage_safe_split,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 EXTRA_ORACLES = {
     "leakage_safe_split": _ORACLE_SPLIT,
+    "semantic_dedup": _semdedup_sql(),
 }

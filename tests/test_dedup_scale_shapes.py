@@ -83,3 +83,42 @@ def test_embedding_neardup_candidates_grow_subquadratically(spark):
     # quadratic blow-up would make pair_ratio ≈ size_ratio²; bucketing
     # keeps it well below that
     assert pair_ratio < (size_ratio ** 2) * 0.5
+
+
+def test_semantic_dedup_keep_first_ledger(spark, tmp_path):
+    """Hand-built corpus with a known keep-first outcome: K=4 seed
+    centroids on the axes, two near-dups of seed 0, two of seed 1 (one
+    genuinely close, one at cos 0.8), and two cell-2 members nearly
+    orthogonal to everything (kept). The ledger must match exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (4, [1.0, 0.01, 0.0, 0.0]),     # dup of 0
+        (5, [0.99, -0.02, 0.01, 0.0]),  # dup of 0
+        (6, [0.0, 1.0, 0.05, 0.0]),     # dup of 1
+        (7, [0.6, 0.8, 0.0, 0.0]),      # cell 1, cos 0.8 to seed -> dup
+        (8, [0.1, 0.09, 0.11, -0.9]),   # cell 2, cos ~0.12 -> kept
+        (9, [-0.8, 0.1, 0.12, 0.05]),   # cell 2, cos ~0.15, anti 8 -> kept
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = {
+        r["cid"]: r
+        for r in dedup.q_semantic_dedup(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    for cid, (n, dups) in {0: (3, 2), 1: (3, 2), 2: (3, 0), 3: (1, 0)}.items():
+        assert rows[cid]["n_vectors"] == n, cid
+        assert rows[cid]["n_dups"] == dups, cid
+        assert rows[cid]["n_kept"] == n - dups, cid

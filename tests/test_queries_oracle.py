@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-14:] == [
+    assert names[-15:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -58,6 +58,7 @@ def test_registry_consistency():
         "kmeans_clusters",
         "ann_recall",
         "leakage_safe_split",
+        "semantic_dedup",
         "sequence_packing",
         "source_mixture_weights",
         "streaming_dedup",
