@@ -163,8 +163,21 @@ def orchestrate(
         best = None
         for trial in range(trials):
             if surface == "spark-submit":
+                # spark-submit starts the JVM itself, so the heap/GC
+                # settings session.py's builder would apply (32g heap,
+                # capped ParallelGC threads) MUST ride the command line —
+                # on the 1g default heap the blob-heavy stages spend more
+                # time in GC than in kernels, which is a deployment bug,
+                # not a measurement
                 cmd = [
                     spark_submit, "--master", f"local[{cores}]",
+                    "--driver-memory",
+                    os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
+                    "--conf",
+                    "spark.driver.extraJavaOptions=" + os.environ.get(
+                        "SPARK_GRAFT_JAVA_OPTS",
+                        "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
+                    ),
                     "--py-files", pyfiles_zip,
                     os.path.abspath(__file__),
                     "--worker", "--cores", str(cores),
