@@ -119,3 +119,78 @@ def test_xycut_malformed_lines_skipped():
 def test_xycut_empty():
     assert reconstruct_reading_order("") == ""
     assert reconstruct_reading_order(None) == ""
+
+
+# --- property tests (hypothesis) ---------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_WORD = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=10
+)
+_TAG = st.sampled_from(["p", "div", "li", "nav", "footer", "span", "a", "h2"])
+
+
+@st.composite
+def _html_doc(draw):
+    """Random nested fragment from a safe alphabet (no entities, so the
+    parser's charref conversion can't alter tokens)."""
+    parts = []
+    for _ in range(draw(st.integers(0, 8))):
+        tag = draw(_TAG)
+        words = " ".join(draw(st.lists(_WORD, max_size=30)))
+        parts.append(f"<{tag}>{words}</{tag}>")
+    return "".join(parts)
+
+
+@given(_html_doc())
+@settings(max_examples=60, deadline=None)
+def test_html_never_invents_words(doc):
+    """Every output token must come from the input: the classifier only
+    selects blocks, it never synthesizes or merges words."""
+    from collections import Counter
+
+    out_words = Counter(strip_boilerplate(doc).split())
+    in_words = Counter(
+        w for w in doc.replace("<", " <").replace(">", "> ").split()
+        if not (w.startswith("<") or w.endswith(">"))
+    )
+    assert not out_words - in_words
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_html_total_on_garbage(raw):
+    """strip_boilerplate is total: any string (broken tags, control
+    chars, half-entities) must yield a string, never raise."""
+    assert isinstance(strip_boilerplate(raw), str)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_normalize_idempotent(raw):
+    once = normalize_text(raw)
+    assert normalize_text(once) == once
+
+
+@st.composite
+def _pdf_payload(draw):
+    n = draw(st.integers(1, 12))
+    lines = []
+    for i in range(n):
+        x = draw(st.floats(0, 500, allow_nan=False))
+        y = draw(st.floats(0, 700, allow_nan=False))
+        w = draw(st.floats(1, 200, allow_nan=False))
+        h = draw(st.floats(5, 20, allow_nan=False))
+        lines.append(f"{x}|{y}|{w}|{h}|frag{i}")
+    return "\n".join(lines)
+
+
+@given(_pdf_payload())
+@settings(max_examples=60, deadline=None)
+def test_xycut_is_a_permutation(payload):
+    """Reading-order sort reorders fragments; it never drops, duplicates
+    or rewrites one, at any cut recursion shape."""
+    out = reconstruct_reading_order(payload).split("\n")
+    expected = sorted(line.split("|", 4)[4] for line in payload.split("\n"))
+    assert sorted(out) == expected
