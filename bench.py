@@ -49,6 +49,8 @@ HEADLINE = [
     "ann_ivf_cells",  # index build (persists the assignment) ...
     "ann_ivf_probe",  # ... then the probe scans the in-memory index
     "semantic_dedup",  # reuses the same persisted cell assignment
+    "pq_codes",  # PQ index build (4-bit codes per subspace) ...
+    "pq_adc_probe",  # ... and the integer-LUT asymmetric-distance scan
     "kmeans_clusters",
     "ann_recall",
     "sessionization",

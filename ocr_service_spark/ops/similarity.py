@@ -743,14 +743,192 @@ GROUP BY x.qid
 """
 
 
+# --- product quantization (PQ codes + asymmetric-distance probe) -----------
+PQ_M = 4          # subspaces (64-dim embeddings -> 16 dims each)
+PQ_K = 16         # codes per subspace: 4-bit codes, 4 bytes/vector total —
+                  # 64x smaller than the float32 vector (the memory layout
+                  # that makes trillion-vector ANN fit on a cluster;
+                  # Jégou, Douze & Schmid, TPAMI 2011)
+PQ_ROUND = 6      # subspace-distance rounding before argmin (KM_ROUND rule)
+
+
+def _pq_model(spark: SparkSession, sf_dir: str):
+    """Driver-side PQ codebooks: for each of the PQ_M subspaces, the
+    centroids are the sub-vectors of the first min(PQ_K, n) vec_ids —
+    the same deterministic seeding rule as the IVF coarse quantizer and
+    k-means, so the oracle can re-derive the codebook in SQL. Returns
+    (k, codebooks[M][k][sub_d]) as float64 numpy."""
+    import pyarrow.parquet as pq
+
+    from . import table_path
+
+    path = table_path(sf_dir, "embeddings")
+    n = pq.ParquetFile(path).metadata.num_rows
+    k = min(PQ_K, n)
+    tbl = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", k)]
+    ).sort_by("vec_id")
+    seeds = np.array(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    d = seeds.shape[1]
+    if d % PQ_M:
+        raise ValueError(f"embedding dim {d} not divisible by PQ_M={PQ_M}")
+    sub = d // PQ_M
+    books = seeds.reshape(k, PQ_M, sub).transpose(1, 0, 2)  # (M, k, sub)
+    return k, books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Vectorized PQ encoder: one Arrow batch in, one code-array out per
+    row. Per subspace, squared-L2 to the codebook (a BLAS matmul away)
+    rounded to PQ_ROUND before the argmin (ties to the smallest code,
+    same ulp discipline as the k-means assignment)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        n, d = x.shape
+        m, k, sub = books.shape
+        xs = x.reshape(n, m, sub)
+        codes = np.empty((n, m), dtype=np.int64)
+        for j in range(m):
+            diff = xs[:, j, None, :] - books[None, j, :, :]
+            dist = np.round((diff * diff).sum(axis=2), PQ_ROUND)
+            codes[:, j] = np.argmin(dist, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, books = _pq_model(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    return emb.select("vec_id", _pq_encode_udf(books)("v").alias("codes"))
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code histogram per subspace — the index-build step. Encoding
+    is one UDF pass, one row out per row in; at production the codes
+    column is materialized next to the table (4 bytes/vector) and this
+    histogram is the codebook-balance health check."""
+    return (
+        _pq_codes_df(spark, sf_dir)
+        .select(F.posexplode("codes").alias("sub", "code"))
+        .groupBy("sub", "code")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def q_pq_adc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-K: the query stays un-quantized;
+    each corpus vector's distance is the sum of M lookup-table entries
+    addressed by its PQ codes. The M×K LUT is built driver-side in
+    INTEGER micro-units (round(d², 6)·10⁶ as int64), so the ADC sum is
+    exact integer arithmetic — bit-identical between Spark and the
+    DuckDB oracle — and the scan is pure JVM column math
+    (element_at + adds) over 4-byte codes, never touching the floats.
+    That is the FAISS IVFADC scan shape: at 10^12 vectors the probe
+    reads codes only (~4 TB instead of 256 TB of float32)."""
+    k, books = _pq_model(spark, sf_dir)
+    # query sub-vectors: QUERY_VEC_ID < k by the seeding rule
+    q_subs = np.stack([books[j][QUERY_VEC_ID] for j in range(PQ_M)])
+    lut = np.empty((PQ_M, k), dtype=np.int64)
+    for j in range(PQ_M):
+        diff = books[j] - q_subs[j][None, :]
+        d6 = np.round((diff * diff).sum(axis=1), PQ_ROUND)
+        lut[j] = np.rint(d6 * 1_000_000).astype(np.int64)
+    codes = _pq_codes_df(spark, sf_dir)
+    adc = None
+    for j in range(PQ_M):
+        arr = F.array(*[F.lit(int(v)) for v in lut[j]])
+        term = F.element_at(
+            arr, (F.element_at("codes", j + 1) + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+    scored = codes.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", adc.alias("adc")
+    )
+    return (
+        scored.orderBy("adc", "vec_id")
+        .limit(TOP_K)
+        .select(
+            F.row_number().over(Window.orderBy("adc", "vec_id")).alias("rank"),
+            "vec_id",
+            "adc",
+        )
+    )
+
+
+_PQ_CODES_SQL = f"""
+WITH kk AS (SELECT least({PQ_K}, count(*)) AS k FROM embeddings),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+dim AS (SELECT len(v) // {PQ_M} AS sub FROM e LIMIT 1),
+cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < (SELECT k FROM kk)),
+m AS (SELECT unnest(range({PQ_M})) AS sub_idx),
+dists AS (
+  SELECT e.vec_id, m.sub_idx, cb.code,
+         round(list_sum(list_transform(range(1, dim.sub + 1),
+             i -> (e.v[m.sub_idx * dim.sub + i]
+                   - cb.cv[m.sub_idx * dim.sub + i])
+                  * (e.v[m.sub_idx * dim.sub + i]
+                     - cb.cv[m.sub_idx * dim.sub + i]))),
+               {PQ_ROUND}) AS d
+  FROM e CROSS JOIN m CROSS JOIN cb CROSS JOIN dim
+),
+codes AS (
+  SELECT vec_id, sub_idx, code
+  FROM (SELECT vec_id, sub_idx, code,
+               row_number() OVER (PARTITION BY vec_id, sub_idx
+                                  ORDER BY d, code) AS rn
+        FROM dists)
+  WHERE rn = 1
+)"""
+
+_ORACLE_PQ_CODES = (
+    _PQ_CODES_SQL
+    + """
+SELECT sub_idx AS sub, code, count(*) AS n_vectors
+FROM codes GROUP BY 1, 2
+"""
+)
+
+_ORACLE_PQ_ADC = (
+    _PQ_CODES_SQL
+    + f""",
+lut AS (
+  SELECT sub_idx, code, CAST(round(d * 1000000) AS BIGINT) AS du
+  FROM dists WHERE vec_id = {QUERY_VEC_ID}
+),
+adc AS (
+  SELECT c.vec_id, CAST(sum(l.du) AS BIGINT) AS adc
+  FROM codes c JOIN lut l ON l.sub_idx = c.sub_idx AND l.code = c.code
+  WHERE c.vec_id != {QUERY_VEC_ID}
+  GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY adc, vec_id) AS rank, vec_id, adc
+FROM adc ORDER BY adc, vec_id LIMIT {TOP_K}
+"""
+)
+
+
 EXTRA_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "ann_recall": q_ann_recall,
+    "pq_codes": q_pq_codes,
+    "pq_adc_probe": q_pq_adc_probe,
 }
 
 EXTRA_ORACLES = {
     "kmeans_clusters": _ORACLE_KMEANS,
     "ann_recall": _ORACLE_ANN_RECALL,
+    "pq_codes": _ORACLE_PQ_CODES,
+    "pq_adc_probe": _ORACLE_PQ_ADC,
 }
 
 

@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-15:] == [
+    assert names[-17:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -57,6 +57,8 @@ def test_registry_consistency():
         "cms_token_counts",
         "kmeans_clusters",
         "ann_recall",
+        "pq_codes",
+        "pq_adc_probe",
         "leakage_safe_split",
         "semantic_dedup",
         "sequence_packing",
