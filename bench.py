@@ -51,6 +51,7 @@ HEADLINE = [
     "semantic_dedup",  # reuses the same persisted cell assignment
     "pq_codes",  # PQ index build (4-bit codes per subspace) ...
     "pq_adc_probe",  # ... and the integer-LUT asymmetric-distance scan
+    "pq_recall",  # ADC recall@10 vs exact L2 over the seed-query panel
     "kmeans_clusters",
     "ann_recall",
     "sessionization",

@@ -808,7 +808,7 @@ def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    return emb.select("vec_id", _pq_encode_udf(books)("v").alias("codes"))
+    return emb.select("vec_id", "v", _pq_encode_udf(books)("v").alias("codes"))
 
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,6 +861,90 @@ def q_pq_adc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "adc",
         )
+    )
+
+
+PQ_NQ = 8  # recall-panel size: seed queries 0..NQ-1 (all inside the
+           # codebook seed set, so their ADC lookup tables are exactly
+           # the code-assignment distance rows — no extra model state)
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the PQ/ADC ranking against exact squared-L2, per
+    panel query — the quantization-loss number a compressed index must
+    measure before anyone trusts 4-bit codes at 10^12 vectors. Both
+    arms rank in integer micro-units with the same (distance, vec_id)
+    tiebreak, so the comparison is bit-deterministic across engines.
+
+    Scale shape: the ADC arm never touches the float vectors (nested
+    literal-array lookups over the codes column); the exact arm is the
+    O(NQ·n) ground-truth price, kept linear by the fixed panel — the
+    same budget the ann_recall panel pays. Both arms use the two-level
+    top-K (partition-local then global) so no task ever sorts a full
+    query's candidate set."""
+    k, books = _pq_model(spark, sf_dir)
+    nq = min(PQ_NQ, k)
+    # per-query ADC LUTs in integer micro-units (queries are the seeds)
+    luts = np.empty((PQ_M, nq, k), dtype=np.int64)
+    for j in range(PQ_M):
+        for q in range(nq):
+            diff = books[j] - books[j][q][None, :]
+            d6 = np.round((diff * diff).sum(axis=1), PQ_ROUND)
+            luts[j, q] = np.rint(d6 * 1_000_000).astype(np.int64)
+    codes = _pq_codes_df(spark, sf_dir)
+    qs = codes.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = codes.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    adc = None
+    for j in range(PQ_M):
+        lut_j = F.array(
+            *[F.array(*[F.lit(int(v)) for v in luts[j, q]]) for q in range(nq)]
+        )
+        term = F.element_at(
+            F.element_at(lut_j, (F.col("qid") + 1).cast("int")),
+            (F.element_at("codes", j + 1) + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    # exact squared-L2 in the same micro-unit discipline
+    exd = F.round(
+        F.aggregate(
+            F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        PQ_ROUND,
+    )
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        adc.alias("adc"),
+        F.round(exd * 1_000_000).cast("long").alias("exact_d"),
+    )
+
+    def _topk(df, col):
+        w1 = Window.partitionBy("qid", "part").orderBy(col, "vec_id")
+        w2 = Window.partitionBy("qid").orderBy(col, "vec_id")
+        local = (
+            df.withColumn("part", F.spark_partition_id())
+            .withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= TOP_K)
+        )
+        return (
+            local.withColumn("rn2", F.row_number().over(w2))
+            .filter(F.col("rn2") <= TOP_K)
+            .select("qid", "vec_id")
+        )
+
+    scored = scored.persist()
+    topa = _topk(scored, F.col("adc"))
+    tope = _topk(scored, F.col("exact_d"))
+    return (
+        tope.join(topa.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.count("hit").alias("n_overlap"))
     )
 
 
@@ -917,11 +1001,48 @@ FROM adc ORDER BY adc, vec_id LIMIT {TOP_K}
 )
 
 
+_ORACLE_PQ_RECALL = (
+    _PQ_CODES_SQL
+    + f""",
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {PQ_NQ}),
+lut AS (
+  SELECT vec_id AS qid, sub_idx, code, CAST(round(d * 1000000) AS BIGINT) AS du
+  FROM dists WHERE vec_id < {PQ_NQ}
+),
+adc AS (
+  SELECT l.qid, c.vec_id, CAST(sum(l.du) AS BIGINT) AS adc
+  FROM codes c JOIN lut l ON l.sub_idx = c.sub_idx AND l.code = c.code
+  WHERE c.vec_id != l.qid
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT q.qid, e.vec_id,
+         CAST(round(round(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))), {PQ_ROUND})
+               * 1000000) AS BIGINT) AS d
+  FROM e CROSS JOIN q WHERE e.vec_id != q.qid
+),
+topa AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+    FROM adc) WHERE rn <= {TOP_K}),
+tope AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+    FROM ex) WHERE rn <= {TOP_K})
+SELECT t.qid, CAST(count(a.qid) AS BIGINT) AS n_overlap
+FROM tope t LEFT JOIN topa a ON a.qid = t.qid AND a.vec_id = t.vec_id
+GROUP BY 1
+"""
+)
+
+
 EXTRA_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "ann_recall": q_ann_recall,
     "pq_codes": q_pq_codes,
     "pq_adc_probe": q_pq_adc_probe,
+    "pq_recall": q_pq_recall,
 }
 
 EXTRA_ORACLES = {
@@ -929,6 +1050,7 @@ EXTRA_ORACLES = {
     "ann_recall": _ORACLE_ANN_RECALL,
     "pq_codes": _ORACLE_PQ_CODES,
     "pq_adc_probe": _ORACLE_PQ_ADC,
+    "pq_recall": _ORACLE_PQ_RECALL,
 }
 
 

@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-17:] == [
+    assert names[-18:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -59,6 +59,7 @@ def test_registry_consistency():
         "ann_recall",
         "pq_codes",
         "pq_adc_probe",
+        "pq_recall",
         "leakage_safe_split",
         "semantic_dedup",
         "sequence_packing",
