@@ -40,6 +40,7 @@ HEADLINE = [
     "decontam_hits",
     "unigram_logprob",
     "cms_token_counts",
+    "bloom_seen_probe",
     "minhash_lsh_buckets",
     "simhash_histogram",
     "ngram_jaccard_pairs",

@@ -687,12 +687,150 @@ FROM m LEFT JOIN d USING (cid)
 """
 
 
+# --- Bloom-filter seen-set (crawl-frontier membership) ----------------------
+BLOOM_BITS_PER_KEY = 4   # m = 4·n bits: theoretical FPR with k=4 is
+                         # (1 - e^(-1))^4 ≈ 16%, deliberately tight so
+                         # the probe panel actually exercises the
+                         # false-positive path at test scale (at 16
+                         # bits/key — the production setting — FPR is
+                         # 0.24% and 50 probes never fire). The filter
+                         # grows WITH the corpus, like the LSH bucket
+                         # count — never a fixed m that saturates.
+BLOOM_K = 4              # hash functions: disjoint 8-hex-char md5 slices
+BLOOM_PROBE_N = 50       # probe panel size per arm
+
+
+def _bloom_pos(col, j: int, m_expr):
+    """Bit position j: the j-th disjoint 8-hex-char slice of md5(text)
+    (portable across engines, same construction as the CMS/split
+    hashes) mod the filter size."""
+    return (
+        F.conv(F.substring(F.md5(col), 1 + 8 * j, 8), 16, 10).cast("long")
+        % m_expr
+    )
+
+
+def q_bloom_seen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership over document content — the "have we
+    seen this?" primitive a crawl frontier or ingest dedup keeps when
+    the key set is too large to join against: m = 16·n bits, k = 4
+    md5-slice hashes, built as a DISTINCT set-bit frame (one shuffle;
+    partial filters from any partitioning merge by union, so the build
+    is mergeable exactly like the CMS sketch). The probe panel runs two
+    arms through the filter in the same query: the first N documents'
+    exact text (structurally guaranteed hits — a Bloom filter has no
+    false negatives) and the same texts mutated (novel keys, so every
+    hit is a FALSE POSITIVE). Output carries filter geometry, fill, and
+    both arms' hit counts, so the realized FPR is measured against the
+    theoretical ~0.24% rather than assumed."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()  # metadata-only (parquet/Iceberg footer count)
+    m = BLOOM_BITS_PER_KEY * max(n, 1)
+    bits = (
+        docs.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("text"), j, m) for j in range(BLOOM_K)]
+                )
+            ).alias("b")
+        )
+        .distinct()
+    )
+    probes = docs.filter(F.col("doc_id") < BLOOM_PROBE_N).select(
+        "doc_id", "text"
+    )
+    panel = probes.select(
+        "doc_id", F.lit("seen").alias("arm"), F.col("text").alias("key")
+    ).unionByName(
+        probes.select(
+            "doc_id",
+            F.lit("novel").alias("arm"),
+            F.concat("text", F.lit("#novel")).alias("key"),
+        )
+    )
+    panel_pos = panel.select(
+        "doc_id",
+        "arm",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("key"), j, m) for j in range(BLOOM_K)])
+        ).alias("b"),
+    )
+    # membership = ALL k positions set; the inner join drops unset ones
+    hits = (
+        panel_pos.join(F.broadcast(bits), "b")
+        .groupBy("doc_id", "arm")
+        .agg(F.count("*").alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_K)
+        .groupBy("arm")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    geom = bits.agg(F.count("*").alias("n_set_bits")).select(
+        F.lit(int(m)).cast("long").alias("m_bits"),
+        "n_set_bits",
+        F.lit(int(BLOOM_K)).cast("long").alias("k_hashes"),
+    )
+    arms = (
+        hits.groupBy()
+        .pivot("arm", ["seen", "novel"])
+        .sum("n_hits")
+        .select(
+            F.coalesce("seen", F.lit(0)).cast("long").alias("n_seen_hits"),
+            F.coalesce("novel", F.lit(0)).cast("long").alias("n_novel_hits"),
+        )
+    )
+    return geom.crossJoin(arms)
+
+
+def _bloom_sql() -> str:
+    slices = ", ".join(str(j) for j in range(BLOOM_K))
+    return f"""
+WITH m AS (SELECT {BLOOM_BITS_PER_KEY} * greatest(count(*), 1) AS mb
+           FROM documents),
+js AS (SELECT unnest([{slices}]) AS j),
+bits AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substring(md5(text), 1 + 8 * js.j, 8)) AS BIGINT)
+      % (SELECT mb FROM m) AS b
+  FROM documents CROSS JOIN js
+),
+probes AS (SELECT doc_id, text FROM documents WHERE doc_id < {BLOOM_PROBE_N}),
+panel AS (
+  SELECT doc_id, 'seen' AS arm, text AS key FROM probes
+  UNION ALL
+  SELECT doc_id, 'novel' AS arm, text || '#novel' AS key FROM probes
+),
+panel_pos AS (
+  SELECT doc_id, arm,
+    CAST(concat('0x', substring(md5(key), 1 + 8 * js.j, 8)) AS BIGINT)
+      % (SELECT mb FROM m) AS b
+  FROM panel CROSS JOIN js
+),
+hits AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_hits FROM (
+    SELECT doc_id, arm, count(*) AS n_set
+    FROM panel_pos JOIN bits USING (b)
+    GROUP BY 1, 2
+  ) WHERE n_set = {BLOOM_K}
+  GROUP BY arm
+)
+SELECT CAST((SELECT mb FROM m) AS BIGINT) AS m_bits,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_set_bits,
+       CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+       CAST(coalesce((SELECT n_hits FROM hits WHERE arm = 'seen'), 0)
+            AS BIGINT) AS n_seen_hits,
+       CAST(coalesce((SELECT n_hits FROM hits WHERE arm = 'novel'), 0)
+            AS BIGINT) AS n_novel_hits
+"""
+
+
 EXTRA_QUERIES = {
     "leakage_safe_split": q_leakage_safe_split,
     "semantic_dedup": q_semantic_dedup,
+    "bloom_seen_probe": q_bloom_seen_probe,
 }
 
 EXTRA_ORACLES = {
     "leakage_safe_split": _ORACLE_SPLIT,
     "semantic_dedup": _semdedup_sql(),
+    "bloom_seen_probe": _bloom_sql(),
 }

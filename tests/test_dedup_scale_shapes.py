@@ -122,3 +122,13 @@ def test_semantic_dedup_keep_first_ledger(spark, tmp_path):
         assert rows[cid]["n_vectors"] == n, cid
         assert rows[cid]["n_dups"] == dups, cid
         assert rows[cid]["n_kept"] == n - dups, cid
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """Structural Bloom property: every probe whose exact text was
+    inserted must hit; novel probes may hit only as (measured) false
+    positives, bounded well below the full panel."""
+    row = dedup.q_bloom_seen_probe(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_seen_hits"] == dedup.BLOOM_PROBE_N
+    assert 0 <= row["n_novel_hits"] < dedup.BLOOM_PROBE_N // 2
+    assert row["n_set_bits"] <= row["m_bits"]

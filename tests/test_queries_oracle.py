@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-18:] == [
+    assert names[-19:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -62,6 +62,7 @@ def test_registry_consistency():
         "pq_recall",
         "leakage_safe_split",
         "semantic_dedup",
+        "bloom_seen_probe",
         "sequence_packing",
         "source_mixture_weights",
         "streaming_dedup",
