@@ -53,6 +53,7 @@ HEADLINE = [
     "pq_codes",  # PQ index build (4-bit codes per subspace) ...
     "pq_adc_probe",  # ... and the integer-LUT asymmetric-distance scan
     "pq_recall",  # ADC recall@10 vs exact L2 over the seed-query panel
+    "ann_ivfpq_probe",  # the composed IVF+PQ (IVFADC) production probe
     "kmeans_clusters",
     "ann_recall",
     "sessionization",

@@ -322,15 +322,12 @@ def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe: exact cosine top-k restricted to the query's cell
-    (nprobe=1) — scan ≈ n/IVF_K instead of n. The query vector comes
-    from the driver-side centroid model (QUERY_VEC_ID < K by the seeding
-    rule) and its cell from the SAME persisted assignment the scan
-    filters on — one tiny collect instead of a broadcast-join of a
-    filtered branch, so the probe is a single cell-scan job. qn scales
-    every candidate's cosine identically, so rank order (the checked
-    output) is invariant to its summation order."""
+def _ivf_query_cell(spark: SparkSession, sf_dir: str):
+    """(query vector, its norm, its coarse cell) from the driver-side
+    centroid model — ZERO Spark jobs. The cell is computed via the SAME
+    vectorized expression as the assignment kernel on a 1-row batch
+    (agreement with the declarative window argmax pinned by
+    test_ivf_pandas_matches_declarative)."""
     k, cent_mat, cent_ids, cent_norm = _ivf_model(spark, sf_dir)
     if QUERY_VEC_ID >= k:
         raise ValueError("query vector must be one of the IVF seed centroids")
@@ -342,14 +339,24 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     qv = cent_mat[qi]
     qn = float(cent_norm[qi])
-    # query cell via the SAME vectorized expression as the assignment
-    # kernel on a 1-row batch (agreement with the declarative window
-    # argmax pinned by test_ivf_pandas_matches_declarative) — zero jobs
     x = qv[None, :]
     qcos = (x @ cent_mat.T) / (
         np.sqrt((x * x).sum(axis=1))[:, None] * cent_norm[None, :]
     )
     qc = int(cent_ids[np.argmax(qcos, axis=1)[0]])
+    return qv, qn, qc
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: exact cosine top-k restricted to the query's cell
+    (nprobe=1) — scan ≈ n/IVF_K instead of n. The query vector comes
+    from the driver-side centroid model (QUERY_VEC_ID < K by the seeding
+    rule) and its cell from the SAME persisted assignment the scan
+    filters on — one tiny collect instead of a broadcast-join of a
+    filtered branch, so the probe is a single cell-scan job. qn scales
+    every candidate's cosine identically, so rank order (the checked
+    output) is invariant to its summation order."""
+    qv, qn, qc = _ivf_query_cell(spark, sf_dir)
     # reuse the (possibly persisted) assignment plan — the standalone
     # probe is ONE job; after a cells query it scans the in-memory cache
     cells = _ivf_cells_cached(spark, sf_dir)
@@ -824,6 +831,33 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_query_lut(k: int, books: np.ndarray) -> np.ndarray:
+    """The (M, k) ADC lookup table for QUERY_VEC_ID in integer
+    micro-units (round(d², 6)·10⁶ as int64): exact integer sums on both
+    engines. The query's sub-vectors come from the codebook itself
+    (QUERY_VEC_ID < k by the seeding rule)."""
+    q_subs = np.stack([books[j][QUERY_VEC_ID] for j in range(PQ_M)])
+    lut = np.empty((PQ_M, k), dtype=np.int64)
+    for j in range(PQ_M):
+        diff = books[j] - q_subs[j][None, :]
+        d6 = np.round((diff * diff).sum(axis=1), PQ_ROUND)
+        lut[j] = np.rint(d6 * 1_000_000).astype(np.int64)
+    return lut
+
+
+def _pq_adc_col(lut: np.ndarray):
+    """ADC as a pure-JVM column over the `codes` array: M literal-array
+    lookups + adds, never touching the float vectors."""
+    adc = None
+    for j in range(PQ_M):
+        arr = F.array(*[F.lit(int(v)) for v in lut[j]])
+        term = F.element_at(
+            arr, (F.element_at("codes", j + 1) + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
 def q_pq_adc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance (ADC) top-K: the query stays un-quantized;
     each corpus vector's distance is the sum of M lookup-table entries
@@ -834,22 +868,8 @@ def q_pq_adc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (element_at + adds) over 4-byte codes, never touching the floats.
     That is the FAISS IVFADC scan shape: at 10^12 vectors the probe
     reads codes only (~4 TB instead of 256 TB of float32)."""
-    k, books = _pq_model(spark, sf_dir)
-    # query sub-vectors: QUERY_VEC_ID < k by the seeding rule
-    q_subs = np.stack([books[j][QUERY_VEC_ID] for j in range(PQ_M)])
-    lut = np.empty((PQ_M, k), dtype=np.int64)
-    for j in range(PQ_M):
-        diff = books[j] - q_subs[j][None, :]
-        d6 = np.round((diff * diff).sum(axis=1), PQ_ROUND)
-        lut[j] = np.rint(d6 * 1_000_000).astype(np.int64)
     codes = _pq_codes_df(spark, sf_dir)
-    adc = None
-    for j in range(PQ_M):
-        arr = F.array(*[F.lit(int(v)) for v in lut[j]])
-        term = F.element_at(
-            arr, (F.element_at("codes", j + 1) + 1).cast("int")
-        )
-        adc = term if adc is None else adc + term
+    adc = _pq_adc_col(_pq_query_lut(*_pq_model(spark, sf_dir)))
     scored = codes.filter(F.col("vec_id") != QUERY_VEC_ID).select(
         "vec_id", adc.alias("adc")
     )
@@ -948,22 +968,23 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_CODES_SQL = f"""
-WITH kk AS (SELECT least({PQ_K}, count(*)) AS k FROM embeddings),
-e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
-dim AS (SELECT len(v) // {PQ_M} AS sub FROM e LIMIT 1),
-cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < (SELECT k FROM kk)),
+# CTE body shared by every PQ oracle; `pe` (not `e`) so it composes with
+# _IVF_CELLS_SQL's preamble in the combined IVF+PQ probe
+_PQ_CTES = f"""kk AS (SELECT least({PQ_K}, count(*)) AS k FROM embeddings),
+pe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+dim AS (SELECT len(v) // {PQ_M} AS sub FROM pe LIMIT 1),
+cb AS (SELECT vec_id AS code, v AS cv FROM pe WHERE vec_id < (SELECT k FROM kk)),
 m AS (SELECT unnest(range({PQ_M})) AS sub_idx),
 dists AS (
-  SELECT e.vec_id, m.sub_idx, cb.code,
+  SELECT pe.vec_id, m.sub_idx, cb.code,
          round(list_sum(list_transform(range(1, dim.sub + 1),
-             i -> (e.v[m.sub_idx * dim.sub + i]
+             i -> (pe.v[m.sub_idx * dim.sub + i]
                    - cb.cv[m.sub_idx * dim.sub + i])
-                  * (e.v[m.sub_idx * dim.sub + i]
+                  * (pe.v[m.sub_idx * dim.sub + i]
                      - cb.cv[m.sub_idx * dim.sub + i]))),
                {PQ_ROUND}) AS d
-  FROM e CROSS JOIN m CROSS JOIN cb CROSS JOIN dim
+  FROM pe CROSS JOIN m CROSS JOIN cb CROSS JOIN dim
 ),
 codes AS (
   SELECT vec_id, sub_idx, code
@@ -973,6 +994,8 @@ codes AS (
         FROM dists)
   WHERE rn = 1
 )"""
+
+_PQ_CODES_SQL = "WITH " + _PQ_CTES
 
 _ORACLE_PQ_CODES = (
     _PQ_CODES_SQL
@@ -1001,10 +1024,61 @@ FROM adc ORDER BY adc, vec_id LIMIT {TOP_K}
 )
 
 
+def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN layout — IVF-PQ (FAISS IVFADC,
+    Jégou et al. TPAMI 2011): the coarse quantizer restricts the scan
+    to the query's cell (nprobe=1, ≈ n/√n rows) and the PQ codes rank
+    it by integer-LUT asymmetric distance. One scan computes both the
+    cell assignment and the codes (two pandas-UDF columns over the same
+    vector batch); the probe itself reads 4-byte codes only. At 10^12
+    vectors this is the layout that serves queries from ~4 TB of codes
+    + a 10^6-row centroid table instead of 256 TB of float32."""
+    _, _, qc = _ivf_query_cell(spark, sf_dir)
+    assign = _ivf_assign_udf(spark, sf_dir)
+    frame = _pq_codes_df(spark, sf_dir).withColumn("cid", assign("v"))
+    adc = _pq_adc_col(_pq_query_lut(*_pq_model(spark, sf_dir)))
+    scored = frame.filter(
+        (F.col("cid") == F.lit(qc)) & (F.col("vec_id") != QUERY_VEC_ID)
+    ).select("vec_id", adc.alias("adc"))
+    return (
+        scored.orderBy("adc", "vec_id")
+        .limit(TOP_K)
+        .select(
+            F.row_number().over(Window.orderBy("adc", "vec_id")).alias("rank"),
+            "vec_id",
+            "adc",
+        )
+    )
+
+
+_ORACLE_IVFPQ_PROBE = (
+    _IVF_CELLS_SQL
+    + ",\n"
+    + _PQ_CTES
+    + f""",
+lut AS (
+  SELECT sub_idx, code, CAST(round(d * 1000000) AS BIGINT) AS du
+  FROM dists WHERE vec_id = {QUERY_VEC_ID}
+),
+qcell AS (SELECT cid FROM cells WHERE vec_id = {QUERY_VEC_ID}),
+adc AS (
+  SELECT c.vec_id, CAST(sum(l.du) AS BIGINT) AS adc
+  FROM codes c
+  JOIN lut l ON l.sub_idx = c.sub_idx AND l.code = c.code
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  WHERE ce.cid = (SELECT cid FROM qcell) AND c.vec_id != {QUERY_VEC_ID}
+  GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY adc, vec_id) AS rank, vec_id, adc
+FROM adc ORDER BY adc, vec_id LIMIT {TOP_K}
+"""
+)
+
+
 _ORACLE_PQ_RECALL = (
     _PQ_CODES_SQL
     + f""",
-q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {PQ_NQ}),
+q AS (SELECT vec_id AS qid, v AS qv FROM pe WHERE vec_id < {PQ_NQ}),
 lut AS (
   SELECT vec_id AS qid, sub_idx, code, CAST(round(d * 1000000) AS BIGINT) AS du
   FROM dists WHERE vec_id < {PQ_NQ}
@@ -1016,11 +1090,11 @@ adc AS (
   GROUP BY 1, 2
 ),
 ex AS (
-  SELECT q.qid, e.vec_id,
-         CAST(round(round(list_sum(list_transform(range(1, len(e.v) + 1),
-               i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))), {PQ_ROUND})
+  SELECT q.qid, pe.vec_id,
+         CAST(round(round(list_sum(list_transform(range(1, len(pe.v) + 1),
+               i -> (pe.v[i] - q.qv[i]) * (pe.v[i] - q.qv[i]))), {PQ_ROUND})
                * 1000000) AS BIGINT) AS d
-  FROM e CROSS JOIN q WHERE e.vec_id != q.qid
+  FROM pe CROSS JOIN q WHERE pe.vec_id != q.qid
 ),
 topa AS (SELECT qid, vec_id FROM (
     SELECT qid, vec_id,
@@ -1043,6 +1117,7 @@ EXTRA_QUERIES = {
     "pq_codes": q_pq_codes,
     "pq_adc_probe": q_pq_adc_probe,
     "pq_recall": q_pq_recall,
+    "ann_ivfpq_probe": q_ann_ivfpq_probe,
 }
 
 EXTRA_ORACLES = {
@@ -1051,6 +1126,7 @@ EXTRA_ORACLES = {
     "pq_codes": _ORACLE_PQ_CODES,
     "pq_adc_probe": _ORACLE_PQ_ADC,
     "pq_recall": _ORACLE_PQ_RECALL,
+    "ann_ivfpq_probe": _ORACLE_IVFPQ_PROBE,
 }
 
 
