@@ -696,16 +696,22 @@ BLOOM_BITS_PER_KEY = 4   # m = 4·n bits: theoretical FPR with k=4 is
                          # 0.24% and 50 probes never fire). The filter
                          # grows WITH the corpus, like the LSH bucket
                          # count — never a fixed m that saturates.
-BLOOM_K = 4              # hash functions: disjoint 8-hex-char md5 slices
+BLOOM_K = 4              # hash functions: salted 13-hex-char md5 slices
 BLOOM_PROBE_N = 50       # probe panel size per arm
 
 
 def _bloom_pos(col, j: int, m_expr):
-    """Bit position j: the j-th disjoint 8-hex-char slice of md5(text)
-    (portable across engines, same construction as the CMS/split
-    hashes) mod the filter size."""
+    """Bit position j: the first 13 hex chars (52 bits) of the
+    j-SALTED md5 (portable across engines, same construction as the
+    CMS per-depth hashes) mod the filter size. Salting — not disjoint
+    slices of one digest — keeps the address space 52-bit per hash, so
+    m can grow with the corpus past 2^32 bits (disjoint 8-hex slices
+    would pin the reachable space at 4 Gbit and silently saturate the
+    filter at ~1 G keys)."""
     return (
-        F.conv(F.substring(F.md5(col), 1 + 8 * j, 8), 16, 10).cast("long")
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 13), 16, 10
+        ).cast("long")
         % m_expr
     )
 
@@ -713,16 +719,19 @@ def _bloom_pos(col, j: int, m_expr):
 def q_bloom_seen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership over document content — the "have we
     seen this?" primitive a crawl frontier or ingest dedup keeps when
-    the key set is too large to join against: m = 16·n bits, k = 4
-    md5-slice hashes, built as a DISTINCT set-bit frame (one shuffle;
-    partial filters from any partitioning merge by union, so the build
-    is mergeable exactly like the CMS sketch). The probe panel runs two
-    arms through the filter in the same query: the first N documents'
-    exact text (structurally guaranteed hits — a Bloom filter has no
-    false negatives) and the same texts mutated (novel keys, so every
-    hit is a FALSE POSITIVE). Output carries filter geometry, fill, and
-    both arms' hit counts, so the realized FPR is measured against the
-    theoretical ~0.24% rather than assumed."""
+    the key set is too large to join against: m = BLOOM_BITS_PER_KEY·n
+    bits (4·n here — theoretical FPR 16%, deliberately tight so the
+    panel exercises the false-positive path at test scale; production
+    would use 16·n for 0.24%), k = 4 salted-md5 hashes, built as a
+    DISTINCT set-bit frame (one shuffle; partial filters from any
+    partitioning merge by union, so the build is mergeable exactly like
+    the CMS sketch). The probe panel runs two arms through the filter
+    in the same query: the first N documents' exact text (structurally
+    guaranteed hits — a Bloom filter has no false negatives) and the
+    same texts mutated (novel keys, so every hit is a FALSE POSITIVE).
+    Output carries filter geometry, fill, and both arms' hit counts, so
+    the realized FPR is measured against the theoretical one rather
+    than assumed."""
     docs = load(spark, sf_dir, "documents")
     n = docs.count()  # metadata-only (parquet/Iceberg footer count)
     m = BLOOM_BITS_PER_KEY * max(n, 1)
@@ -789,8 +798,8 @@ WITH m AS (SELECT {BLOOM_BITS_PER_KEY} * greatest(count(*), 1) AS mb
 js AS (SELECT unnest([{slices}]) AS j),
 bits AS (
   SELECT DISTINCT
-    CAST(concat('0x', substring(md5(text), 1 + 8 * js.j, 8)) AS BIGINT)
-      % (SELECT mb FROM m) AS b
+    CAST(concat('0x', substring(md5(concat(js.j, ':', text)), 1, 13))
+         AS BIGINT) % (SELECT mb FROM m) AS b
   FROM documents CROSS JOIN js
 ),
 probes AS (SELECT doc_id, text FROM documents WHERE doc_id < {BLOOM_PROBE_N}),
@@ -801,8 +810,8 @@ panel AS (
 ),
 panel_pos AS (
   SELECT doc_id, arm,
-    CAST(concat('0x', substring(md5(key), 1 + 8 * js.j, 8)) AS BIGINT)
-      % (SELECT mb FROM m) AS b
+    CAST(concat('0x', substring(md5(concat(js.j, ':', key)), 1, 13))
+         AS BIGINT) % (SELECT mb FROM m) AS b
   FROM panel CROSS JOIN js
 ),
 hits AS (

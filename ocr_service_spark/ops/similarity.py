@@ -217,6 +217,8 @@ def _ivf_cells_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repeated probes pay zero extra jobs for model building
 _IVF_MODEL_CACHE: dict[tuple, tuple] = {}
 _CELLS_CACHE: dict[tuple, DataFrame] = {}
+_PQ_MODEL_CACHE: dict[tuple, tuple] = {}
+_PQ_RECALL_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _ivf_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
@@ -569,6 +571,30 @@ ANN_RECALL_NQ = 16  # sampled query panel size
 _RECALL_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _two_level_topk(df: DataFrame, order_col) -> DataFrame:
+    """Top-K (qid, vec_id) by order_col with vec_id tiebreak, in two
+    levels: a window partitioned ONLY by qid would sort all n candidate
+    rows of a query in one task (NQ tasks total — a scale-breaker);
+    instead each input partition keeps its local top-K per qid in
+    parallel, then the final window ranks the tiny K×P survivor set.
+    Top-K is associative, so the result is placement-independent. The
+    single shared definition keeps every recall arm's ranking semantics
+    identical — a tiebreak change can never diverge between baseline
+    and index."""
+    w1 = Window.partitionBy("qid", "part").orderBy(order_col, "vec_id")
+    w2 = Window.partitionBy("qid").orderBy(order_col, "vec_id")
+    local = (
+        df.withColumn("part", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= TOP_K)
+    )
+    return (
+        local.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the sign-LSH bucketed ANN against exact brute force,
     measured over a panel of ANN_RECALL_NQ query vectors — the index-
@@ -643,32 +669,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = pairs.persist()
         _RECALL_PAIRS_CACHE[key] = cached
     pairs = cached
-    # single ranking definition for all three arms: a tiebreak or
-    # rounding change can never diverge between baseline and index.
-    # Two-level top-K: a window partitioned ONLY by qid would sort all
-    # n candidate rows of a query in one task (NQ tasks total — a
-    # scale-breaker); instead each input partition keeps its local
-    # top-K per qid in parallel, then the final window ranks the tiny
-    # K×P survivor set. Top-K is associative, so the result is
-    # placement-independent (ties broken by vec_id).
-    def _topk(df):
-        w1 = Window.partitionBy("qid", "part").orderBy(F.desc("cos"), "vec_id")
-        w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
-        local = (
-            df.withColumn("part", F.spark_partition_id())
-            .withColumn("rn", F.row_number().over(w1))
-            .filter(F.col("rn") <= TOP_K)
-        )
-        return (
-            local.withColumn("rn2", F.row_number().over(w2))
-            .filter(F.col("rn2") <= TOP_K)
-            .select("qid", "vec_id")
-        )
-
-    exact = _topk(pairs)
-    ann1 = _topk(pairs.filter(F.col("ham") == 0))
-    annm = _topk(pairs.filter(F.col("ham") <= 1))
-    annivf = _topk(pairs.filter(F.col("same_cell")))
+    # one shared two-level ranking definition for all arms (see
+    # _two_level_topk)
+    exact = _two_level_topk(pairs, F.desc("cos"))
+    ann1 = _two_level_topk(pairs.filter(F.col("ham") == 0), F.desc("cos"))
+    annm = _two_level_topk(pairs.filter(F.col("ham") <= 1), F.desc("cos"))
+    annivf = _two_level_topk(pairs.filter(F.col("same_cell")), F.desc("cos"))
 
     def _recall(ann, hit_name):
         # explicit aliases: the frames share lineage (all derive from
@@ -769,12 +775,25 @@ def _pq_model(spark: SparkSession, sf_dir: str):
 
     from . import table_path
 
+    key = _ivf_cache_key(spark, sf_dir)
+    cached = _PQ_MODEL_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = table_path(sf_dir, "embeddings")
     n = pq.ParquetFile(path).metadata.num_rows
     k = min(PQ_K, n)
     tbl = pq.read_table(
         path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", k)]
     ).sort_by("vec_id")
+    seed_ids = tbl["vec_id"].to_numpy().astype(np.int64)
+    # PQ codes are positional codebook rows AND the oracle labels them
+    # by vec_id — both readings agree only when seeds are 0..k-1
+    # (the same contiguity _ivf_query_cell enforces for the query)
+    if len(seed_ids) != k or not np.array_equal(seed_ids, np.arange(k)):
+        raise ValueError(
+            f"PQ codebook seeds must be contiguous vec_ids 0..{k - 1}; "
+            f"got {seed_ids[:8].tolist()}..."
+        )
     seeds = np.array(
         [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
     )
@@ -783,6 +802,7 @@ def _pq_model(spark: SparkSession, sf_dir: str):
         raise ValueError(f"embedding dim {d} not divisible by PQ_M={PQ_M}")
     sub = d // PQ_M
     books = seeds.reshape(k, PQ_M, sub).transpose(1, 0, 2)  # (M, k, sub)
+    _PQ_MODEL_CACHE[key] = (k, books)
     return k, books
 
 
@@ -831,15 +851,14 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_query_lut(k: int, books: np.ndarray) -> np.ndarray:
-    """The (M, k) ADC lookup table for QUERY_VEC_ID in integer
+def _pq_query_lut(k: int, books: np.ndarray, qid: int = QUERY_VEC_ID) -> np.ndarray:
+    """The (M, k) ADC lookup table for query ``qid`` in integer
     micro-units (round(d², 6)·10⁶ as int64): exact integer sums on both
     engines. The query's sub-vectors come from the codebook itself
-    (QUERY_VEC_ID < k by the seeding rule)."""
-    q_subs = np.stack([books[j][QUERY_VEC_ID] for j in range(PQ_M)])
+    (qid < k by the seeding rule)."""
     lut = np.empty((PQ_M, k), dtype=np.int64)
     for j in range(PQ_M):
-        diff = books[j] - q_subs[j][None, :]
+        diff = books[j] - books[j][qid][None, :]
         d6 = np.round((diff * diff).sum(axis=1), PQ_ROUND)
         lut[j] = np.rint(d6 * 1_000_000).astype(np.int64)
     return lut
@@ -904,13 +923,9 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's candidate set."""
     k, books = _pq_model(spark, sf_dir)
     nq = min(PQ_NQ, k)
-    # per-query ADC LUTs in integer micro-units (queries are the seeds)
-    luts = np.empty((PQ_M, nq, k), dtype=np.int64)
-    for j in range(PQ_M):
-        for q in range(nq):
-            diff = books[j] - books[j][q][None, :]
-            d6 = np.round((diff * diff).sum(axis=1), PQ_ROUND)
-            luts[j, q] = np.rint(d6 * 1_000_000).astype(np.int64)
+    # per-query ADC LUTs in integer micro-units (queries are the seeds;
+    # same builder as the single-query probes) — (M, nq, k)
+    luts = np.stack([_pq_query_lut(k, books, q) for q in range(nq)], axis=1)
     codes = _pq_codes_df(spark, sf_dir)
     qs = codes.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
@@ -944,23 +959,17 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exd * 1_000_000).cast("long").alias("exact_d"),
     )
 
-    def _topk(df, col):
-        w1 = Window.partitionBy("qid", "part").orderBy(col, "vec_id")
-        w2 = Window.partitionBy("qid").orderBy(col, "vec_id")
-        local = (
-            df.withColumn("part", F.spark_partition_id())
-            .withColumn("rn", F.row_number().over(w1))
-            .filter(F.col("rn") <= TOP_K)
-        )
-        return (
-            local.withColumn("rn2", F.row_number().over(w2))
-            .filter(F.col("rn2") <= TOP_K)
-            .select("qid", "vec_id")
-        )
-
-    scored = scored.persist()
-    topa = _topk(scored, F.col("adc"))
-    tope = _topk(scored, F.col("exact_d"))
+    # persist once per (session, dataset) — the two arms share the
+    # scored frame, and repeat panel runs must not leak cache entries
+    # (same policy as _RECALL_PAIRS_CACHE)
+    key = _ivf_cache_key(spark, sf_dir)
+    cached = _PQ_RECALL_CACHE.get(key)
+    if cached is None:
+        cached = scored.persist()
+        _PQ_RECALL_CACHE[key] = cached
+    scored = cached
+    topa = _two_level_topk(scored, F.col("adc"))
+    tope = _two_level_topk(scored, F.col("exact_d"))
     return (
         tope.join(topa.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
         .groupBy("qid")

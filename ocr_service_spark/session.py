@@ -13,6 +13,22 @@ from pyspark.sql import SparkSession
 
 from .config import ARROW_MAX_BYTES_PER_BATCH, ARROW_MAX_RECORDS_PER_BATCH
 
+# JVM sizing shared by BOTH launch surfaces: the builder below (python
+# launcher — effective because the builder starts the JVM) and the
+# spark-submit command line (tools/bench_scaling.py, tools/submit_job.py
+# docs — REQUIRED there because spark-submit starts the JVM before any
+# builder runs, silently ignoring these keys set via .config()).
+DRIVER_MEMORY_DEFAULT = "32g"
+JAVA_OPTS_DEFAULT = "-XX:+UseParallelGC -XX:ParallelGCThreads=8"
+
+
+def driver_memory() -> str:
+    return os.environ.get("SPARK_DRIVER_MEMORY", DRIVER_MEMORY_DEFAULT)
+
+
+def java_opts() -> str:
+    return os.environ.get("SPARK_GRAFT_JAVA_OPTS", JAVA_OPTS_DEFAULT)
+
 
 def _tune_worker_env() -> None:
     """Environment for python workers (inherited from this process — must
@@ -80,14 +96,8 @@ def get_spark(
         # default-sized (ncores) GC thread pool gets starved mid-pause and
         # multi-second young GCs result (measured 120 s summed GC in one
         # stage). 8 GC threads + headroom heap keeps pauses bounded.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_GRAFT_JAVA_OPTS",
-                "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
-            ),
-        )
+        .config("spark.driver.memory", driver_memory())
+        .config("spark.driver.extraJavaOptions", java_opts())
         .config("spark.ui.enabled", "false")
         # Q9 hard backstop: the per-image soft deadline lives inside
         # extract_media_span (KERNEL_TIMEOUT_S); the task reaper kills

@@ -164,20 +164,18 @@ def orchestrate(
         for trial in range(trials):
             if surface == "spark-submit":
                 # spark-submit starts the JVM itself, so the heap/GC
-                # settings session.py's builder would apply (32g heap,
-                # capped ParallelGC threads) MUST ride the command line —
-                # on the 1g default heap the blob-heavy stages spend more
-                # time in GC than in kernels, which is a deployment bug,
-                # not a measurement
+                # settings session.py's builder would apply MUST ride
+                # the command line (single source of truth: session.py's
+                # driver_memory()/java_opts()) — on the 1g default heap
+                # the blob-heavy stages spend more time in GC than in
+                # kernels, which is a deployment bug, not a measurement
+                from ocr_service_spark.session import driver_memory, java_opts
+
                 cmd = [
                     spark_submit, "--master", f"local[{cores}]",
-                    "--driver-memory",
-                    os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
+                    "--driver-memory", driver_memory(),
                     "--conf",
-                    "spark.driver.extraJavaOptions=" + os.environ.get(
-                        "SPARK_GRAFT_JAVA_OPTS",
-                        "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
-                    ),
+                    "spark.driver.extraJavaOptions=" + java_opts(),
                     "--py-files", pyfiles_zip,
                     os.path.abspath(__file__),
                     "--worker", "--cores", str(cores),
