@@ -39,11 +39,13 @@ HEADLINE = [
     "repetition_filter",
     "decontam_hits",
     "unigram_logprob",
+    "dsir_weights",
     "cms_token_counts",
     "bloom_seen_probe",
     "minhash_lsh_buckets",
     "simhash_histogram",
     "ngram_jaccard_pairs",
+    "duplicate_passages",
     "embedding_neardup",
     "knn_bruteforce",
     "ann_lsh_probe",

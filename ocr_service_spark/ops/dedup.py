@@ -13,7 +13,7 @@ at 100 TB the band-bucket join is the standard MinHash-LSH layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import load, widen
 
@@ -843,3 +843,113 @@ EXTRA_ORACLES = {
     "semantic_dedup": _semdedup_sql(),
     "bloom_seen_probe": _bloom_sql(),
 }
+
+
+# --- passage-level substring dedup ------------------------------------------
+# The one dedup family the doc-level ops above don't cover: EXACT
+# REPEATED PASSAGES shared across documents (boilerplate, licenses,
+# templated intros) — the substring-granularity dedup of Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better"), whose
+# suffix-array construction we approximate distributedly at token-shingle
+# granularity: a run of R consecutive matching W-token shingles between
+# two documents IS a shared passage of R+W-1 tokens.
+PASSAGE_W = 8             # token shingle width (passage granularity)
+PASSAGE_MIN_TOKENS = 20   # shortest duplicated passage worth reporting
+PASSAGE_MAX_POSTING = 64  # frequent-shingle cap (same rationale as
+                          # MAX_SHINGLE_BUCKET: a boilerplate shingle in
+                          # every doc would pair-explode; docs sharing a
+                          # LONG passage still match on its rarer
+                          # shingles, so recall degrades gracefully)
+
+
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated passages: for every unordered doc pair,
+    every maximal run of >= PASSAGE_MIN_TOKENS tokens that appears
+    verbatim in both (start positions + token length).
+
+    Shape, built for 100 TB: ONE shuffle groups (doc_id, pos) posting
+    lists by shingle, capped at PASSAGE_MAX_POSTING occurrences (drop
+    ubiquitous shingles instead of pair-exploding on them); candidate
+    (pos_a, pos_b) pairs are generated map-side inside each tiny posting
+    list; consecutive matches lie on a common DIAGONAL (pos_a - pos_b
+    constant), so maximal runs fall out of a gaps-and-islands window
+    partitioned by (doc_a, doc_b, diagonal) — partitions are per-pair
+    match sets, never corpus-sized. No suffix array, no all-pairs scan."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("l"))
+    sh = (
+        base.filter(F.size("l") >= PASSAGE_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(l)-{PASSAGE_W - 1}), "
+                    f"i -> array_join(slice(l, i, {PASSAGE_W}), ' '))"
+                )
+            ).alias("p0", "s"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "s")
+    )
+    posts = (
+        sh.groupBy("s")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ps"))
+        .filter((F.size("ps") >= 2) & (F.size("ps") <= PASSAGE_MAX_POSTING))
+    )
+    m = (
+        posts.select(F.explode("ps").alias("a"), F.col("ps"))
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    wrun = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("diag", F.col("pa") - F.col("pb"))
+        .withColumn("isl", F.col("pa") - F.row_number().over(wrun))
+        .groupBy("da", "db", "diag", "isl")
+        .agg(
+            F.count("*").alias("rl"),
+            F.min("pa").alias("sa"),
+            F.min("pb").alias("sb"),
+        )
+    )
+    return (
+        runs.filter(F.col("rl") + (PASSAGE_W - 1) >= PASSAGE_MIN_TOKENS)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("sa").cast("long").alias("start_a"),
+            F.col("sb").cast("long").alias("start_b"),
+            (F.col("rl") + (PASSAGE_W - 1)).cast("long").alias("passage_tokens"),
+        )
+    )
+
+
+_ORACLE_PASSAGES = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT doc_id, i AS pos, array_to_string(l[i:i+{PASSAGE_W - 1}], ' ') AS s
+       FROM toks, unnest(range(1, len(l) - {PASSAGE_W - 2})) AS t(i)),
+ok AS (SELECT s FROM sh GROUP BY s
+       HAVING count(*) BETWEEN 2 AND {PASSAGE_MAX_POSTING}),
+m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM sh a JOIN ok USING (s) JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id),
+runs AS (SELECT da, db, pa - pb AS diag, pa, pb,
+                pa - row_number()
+                       OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS isl
+         FROM m),
+agg AS (SELECT da, db, count(*) AS rl, min(pa) AS sa, min(pb) AS sb
+        FROM runs GROUP BY da, db, diag, isl)
+SELECT da AS doc_a, db AS doc_b, CAST(sa AS BIGINT) AS start_a,
+       CAST(sb AS BIGINT) AS start_b,
+       CAST(rl + {PASSAGE_W - 1} AS BIGINT) AS passage_tokens
+FROM agg WHERE rl + {PASSAGE_W - 1} >= {PASSAGE_MIN_TOKENS}
+"""
+
+
+EXTRA_QUERIES["duplicate_passages"] = q_duplicate_passages
+EXTRA_ORACLES["duplicate_passages"] = _ORACLE_PASSAGES

@@ -774,3 +774,118 @@ GROUP BY p.tok, p.exact_n
 
 EXTRA_QUERIES["cms_token_counts"] = q_cms_token_counts
 EXTRA_ORACLES["cms_token_counts"] = _ORACLE_CMS
+
+
+# --- DSIR importance resampling ---------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# document by how much more likely its hashed n-gram features are under a
+# TARGET distribution than under the raw corpus, then resample toward the
+# target. The target here is the corpus's own English subset (standing in
+# for "high-quality domain" the way doc_id%97 stands in for a benchmark
+# in decontamination); features are bigrams hashed into DSIR_B buckets
+# with the portable salted-md5 construction shared with the CMS/Bloom
+# sketches.
+DSIR_B = 1024            # hashed feature buckets
+DSIR_TARGET_LANG = "en"  # target-distribution subset
+
+
+def _dsir_feat(col):
+    """Bigram -> feature bucket: first 13 hex chars (52 bits) of the
+    salted md5, mod DSIR_B — portable across engines."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), col)), 1, 13), 16, 10)
+        .cast("long")
+        % DSIR_B
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language DSIR importance summary: average per-token log
+    importance weight log(p_target(f)/p_raw(f)) under add-one-smoothed
+    hashed-bigram unigram models, plus how many docs score positive
+    (more target-like than the corpus average — the resample keep-set).
+
+    Shapes: explode bigrams -> hash -> ONE per-doc feature-count
+    aggregation that both downstream branches share (see the
+    ReuseExchange note inline); both models are one groupBy over the
+    compact count frame (the target model is a conditional sum, not a
+    second scan); the DSIR_B-row ratio table joins back broadcast; one
+    count-weighted per-doc rollup, one per-lang rollup. Per-doc means
+    round to 6 decimals before sign-thresholding so the keep flag is
+    engine-precision-independent (same policy as the unigram-LM
+    filter)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", F.split("text", " ").alias("l"))
+    bgs = F.expr(
+        "transform(sequence(1, size(l)-1), i -> array_join(slice(l, i, 2), ' '))"
+    )
+    feats = (
+        base.filter(F.size("l") >= 2)
+        .select("doc_id", "lang", F.explode(bgs).alias("bg"))
+        .select("doc_id", "lang", _dsir_feat(F.col("bg")).alias("fb"))
+    )
+    # per-doc feature COUNTS first: both the model branch and the
+    # scoring branch hang off this one aggregation, so its exchange is
+    # computed once and reused (ReuseExchange) — the expensive
+    # explode+md5 pass over the corpus never runs twice, which the
+    # naive feats->model / feats->score fork would do
+    docfeat = feats.groupBy("doc_id", "lang", "fb").agg(F.count("*").alias("c"))
+    tgt_c = F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(
+        F.lit(0)
+    )
+    model = docfeat.groupBy("fb").agg(
+        F.sum("c").alias("cr"), F.sum(tgt_c).alias("ct")
+    )
+    tot = model.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    ratio = model.crossJoin(F.broadcast(tot)).select(
+        "fb",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + F.lit(DSIR_B)))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + F.lit(DSIR_B)))
+        ).alias("lr"),
+    )
+    per_doc = (
+        docfeat.join(F.broadcast(ratio), "fb")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 6
+            ).alias("lw")
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("lw"), 4).alias("avg_logweight"),
+        F.sum((F.col("lw") > 0).cast("long")).alias("n_positive"),
+    )
+
+
+_ORACLE_DSIR = f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+bg AS (SELECT doc_id, lang,
+              unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b
+       FROM toks WHERE len(l) >= 2),
+fe AS (SELECT doc_id, lang,
+              CAST(concat('0x', substring(md5(concat('dsir:', b)), 1, 13))
+                   AS BIGINT) % {DSIR_B} AS fb
+       FROM bg),
+docfeat AS (SELECT doc_id, lang, fb, count(*) AS c FROM fe GROUP BY 1, 2, 3),
+model AS (SELECT fb, sum(c) AS cr,
+                 sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END) AS ct
+          FROM docfeat GROUP BY 1),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+ratio AS (SELECT fb, ln((ct + 1) / CAST(nt + {DSIR_B} AS DOUBLE))
+                   - ln((cr + 1) / CAST(nr + {DSIR_B} AS DOUBLE)) AS lr
+          FROM model CROSS JOIN tot),
+per_doc AS (SELECT doc_id, lang, round(sum(c * lr) / sum(c), 6) AS lw
+            FROM docfeat JOIN ratio USING (fb) GROUP BY 1, 2)
+SELECT lang, count(*) AS n_docs, round(avg(lw), 4) AS avg_logweight,
+       CAST(sum(CASE WHEN lw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+FROM per_doc GROUP BY lang
+"""
+
+
+EXTRA_QUERIES["dsir_weights"] = q_dsir_weights
+EXTRA_ORACLES["dsir_weights"] = _ORACLE_DSIR

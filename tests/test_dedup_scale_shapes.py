@@ -132,3 +132,47 @@ def test_bloom_filter_has_no_false_negatives(spark):
     assert row["n_seen_hits"] == dedup.BLOOM_PROBE_N
     assert 0 <= row["n_novel_hits"] < dedup.BLOOM_PROBE_N // 2
     assert row["n_set_bits"] <= row["m_bits"]
+
+
+@pytest.fixture(scope="module")
+def passage_corpus(spark, tmp_path_factory):
+    """Docs 1 and 2 share a verbatim 30-token passage at different
+    offsets; doc 3 shares nothing; 70 "mega" docs all carry a SECOND
+    30-token passage whose shingles therefore exceed the posting cap."""
+    out = tmp_path_factory.mktemp("passages") / "sf"
+    out.mkdir()
+    shared = " ".join(f"p{i}" for i in range(30))
+    boiler = " ".join(f"q{i}" for i in range(30))
+    rows = [
+        (1, "en", "preA0 preA1 " + shared + " tailA"),
+        (2, "en", " ".join(f"preB{i}" for i in range(5)) + " " + shared),
+        (3, "en", " ".join(f"c{i}" for i in range(40))),
+    ]
+    rows += [(100 + i, "en", boiler) for i in range(70)]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_duplicate_passages_positions_and_cap(spark, passage_corpus):
+    """The shared passage is reported once with exact start positions and
+    token length, and the 70-doc boilerplate passage is dropped by the
+    posting-list cap (C(70,2)=2415 pairs never materialize) — recall
+    degrades gracefully instead of pair-exploding."""
+    rows = dedup.q_duplicate_passages(spark, passage_corpus).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # doc 1: passage starts after 2 lead tokens -> token 3 (1-based);
+    # doc 2: after 5 lead tokens -> token 6; 23 matched shingles + W-1
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"]) == (3, 6)
+    assert r["passage_tokens"] == 30
+    # oracle twin agrees on the same corpus
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{passage_corpus}/documents.parquet/*.parquet')"
+    )
+    oracle = con.execute(dedup.EXTRA_ORACLES["duplicate_passages"]).fetchall()
+    assert oracle == [(1, 2, 3, 6, 30)]

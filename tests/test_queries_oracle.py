@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-20:] == [
+    assert names[-22:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -55,6 +55,7 @@ def test_registry_consistency():
         "decontam_hits",
         "unigram_logprob",
         "cms_token_counts",
+        "dsir_weights",
         "kmeans_clusters",
         "ann_recall",
         "pq_codes",
@@ -64,6 +65,7 @@ def test_registry_consistency():
         "leakage_safe_split",
         "semantic_dedup",
         "bloom_seen_probe",
+        "duplicate_passages",
         "sequence_packing",
         "source_mixture_weights",
         "streaming_dedup",

@@ -1,0 +1,25 @@
+"""Unit guards for the textstats training-data operators beyond the
+oracle gate: DSIR importance weights must actually separate the target
+distribution from the rest of the corpus."""
+
+from __future__ import annotations
+
+from ocr_service_spark.ops import textstats
+
+
+def test_dsir_separates_target_language(spark, tmp_path):
+    """Docs drawn from the target (en) vocabulary must average a
+    positive log importance weight (more target-like than the corpus
+    mixture) and land in the keep-set; docs from a disjoint vocabulary
+    must score negative and be excluded."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    en = [(i, "en", " ".join(f"en{j}" for j in range(12))) for i in range(10)]
+    de = [(100 + i, "de", " ".join(f"de{j}" for j in range(12))) for i in range(10)]
+    spark.createDataFrame(
+        en + de, "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    rows = {r["lang"]: r for r in textstats.q_dsir_weights(spark, str(out)).collect()}
+    assert rows["en"]["avg_logweight"] > 0 > rows["de"]["avg_logweight"]
+    assert rows["en"]["n_positive"] == 10
+    assert rows["de"]["n_positive"] == 0
