@@ -67,6 +67,7 @@ HEADLINE = [
     "user_event_pivot",
     "range_join_event_pairs",
     "kmv_distinct_estimate",
+    "quantile_sketch",
     "sequence_packing",
     "source_mixture_weights",
     # leakage_safe_split is excluded like neardup_components: both are

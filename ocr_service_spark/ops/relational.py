@@ -712,3 +712,140 @@ ORACLES = {
     "range_join_event_pairs": _ORACLE_RANGE,
     "kmv_distinct_estimate": _ORACLE_KMV,
 }
+
+
+# --- mergeable quantile sketch ----------------------------------------------
+# Completes the mergeable-summary family (KMV distinct, CMS counts,
+# Bloom membership): a fixed-width histogram whose buckets merge by
+# ADDITION from any partitioning — the quantile summary a 100 TB
+# pipeline keeps when exact percentile's full sort/collect per group is
+# too wide. Estimates interpolate inside the crossing bucket; the query
+# itself measures estimate-vs-exact error rather than assuming the
+# sketch is good enough.
+QSKETCH_W = 128                      # histogram buckets
+QSKETCH_QS = (0.5, 0.9, 0.99)        # probed quantiles
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of event value with measured error:
+    one scalar agg for (n, lo, hi), one groupBy(bucket) building the
+    W-counter sketch (mergeable by addition, like the CMS rows), a
+    cumulative sum over the W-row frame, then linear interpolation at
+    the crossing bucket for each probed q — compared against the exact
+    interpolated percentile in the same output row. All bucket/rank
+    arithmetic is plain double expressions, identical on both engines."""
+    ev = load(spark, sf_dir, "events").select("value")
+    bounds = ev.agg(
+        F.count("*").alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(QSKETCH_W)
+    hist = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                F.lit(QSKETCH_W - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bc"))
+    )
+    wcum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("bc").over(wcum)).withColumn(
+        "cum_prev", F.col("cum") - F.col("bc")
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in QSKETCH_QS])).alias("q")
+    )
+    cand = (
+        qs.crossJoin(cum.crossJoin(F.broadcast(bounds)))
+        .withColumn("target", F.col("q") * F.col("n"))
+        .filter(F.col("cum") >= F.col("target"))
+    )
+    wfirst = W.partitionBy("q").orderBy("bucket")
+    est = (
+        cand.withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q",
+            F.round(
+                F.col("lo")
+                + ((F.col("hi") - F.col("lo")) / F.lit(QSKETCH_W))
+                * (
+                    F.col("bucket")
+                    + (F.col("target") - F.col("cum_prev")) / F.col("bc")
+                ),
+                6,
+            ).alias("est"),
+        )
+    )
+    exact = ev.agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"e{i}")
+            for i, q in enumerate(QSKETCH_QS)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"), F.col(f"e{i}").alias("exact_v")
+                    )
+                    for i, q in enumerate(QSKETCH_QS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact_v")
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            "est",
+            "exact_v",
+            F.round(F.abs(F.col("est") - F.col("exact_v")), 6).alias("abs_err"),
+        )
+    )
+
+
+_ORACLE_QSKETCH = f"""
+WITH bounds AS (SELECT count(*) AS n, min(value) AS lo, max(value) AS hi
+                FROM events),
+hist AS (
+  SELECT least(CAST(floor((value - lo) / ((hi - lo) / {QSKETCH_W})) AS INT),
+               {QSKETCH_W - 1}) AS bucket,
+         count(*) AS bc
+  FROM events CROSS JOIN bounds
+  GROUP BY 1
+),
+cum AS (
+  SELECT bucket, bc,
+         sum(bc) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+qs AS (SELECT CAST(unnest([{", ".join(str(q) for q in QSKETCH_QS)}]) AS DOUBLE) AS q),
+cand AS (
+  SELECT q, bucket, bc, cum, cum - bc AS cum_prev, q * n AS target, lo, hi,
+         row_number() OVER (PARTITION BY q ORDER BY bucket) AS rn
+  FROM qs CROSS JOIN cum CROSS JOIN bounds
+  WHERE cum >= q * n
+),
+est AS (
+  SELECT q,
+         round(lo + ((hi - lo) / {QSKETCH_W})
+                    * (bucket + (target - cum_prev) / bc), 6) AS est
+  FROM cand WHERE rn = 1
+),
+exact AS (
+  SELECT CAST(unnest([{", ".join(str(q) for q in QSKETCH_QS)}]) AS DOUBLE) AS q,
+         unnest([{", ".join(f"round(quantile_cont(value, {q}), 6)" for q in QSKETCH_QS)}]) AS exact_v
+  FROM events
+)
+SELECT est.q, est.est, exact.exact_v,
+       round(abs(est.est - exact.exact_v), 6) AS abs_err
+FROM est JOIN exact USING (q)
+"""
+
+
+EXTRA_QUERIES = {"quantile_sketch": q_quantile_sketch}
+EXTRA_ORACLES = {"quantile_sketch": _ORACLE_QSKETCH}

@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.EXTRA_QUERIES)
     out.update(packing.QUERIES)
     out.update(streaming.EXTRA_QUERIES)
+    out.update(relational.EXTRA_QUERIES)
     return out
 
 
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.EXTRA_ORACLES)
     out.update(packing.ORACLES)
     out.update(streaming.EXTRA_ORACLES)
+    out.update(relational.EXTRA_ORACLES)
     out.update(_media_oracles())
     # only structured_receipts stays rows-only (full LLM-schema output
     # with JSON+array columns); receipt_fields carries its SQL-

@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-22:] == [
+    assert names[-23:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -69,6 +69,7 @@ def test_registry_consistency():
         "sequence_packing",
         "source_mixture_weights",
         "streaming_dedup",
+        "quantile_sketch",
     ]
 
 
