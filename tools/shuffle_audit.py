@@ -1,0 +1,135 @@
+"""Measured shuffle-volume scaling audit (SHUFFLE.md generator).
+
+The plan audit (tools/plan_audit.py) counts exchanges; this tool
+measures what actually moves THROUGH them: per-query shuffle-write
+bytes from Spark's AppStatusStore, at two scale factors, and the growth
+ratio against the input-row growth. A blocked/capped operator (LSH
+buckets, banded range join, capped posting lists) must show shuffle
+growing ~linearly with its driving table — if candidate generation were
+quadratic, bytes would grow with the SQUARE of the input ratio and this
+audit would catch it long before a 100 TB run does.
+
+Each scale factor runs in a FRESH SparkSession so the per-module
+model/cell caches (similarity.py) and persisted frames cannot bleed
+bytes between measurements; within a session, per-query bytes are
+snapshot deltas of the cumulative stage totals.
+
+Usage: python tools/shuffle_audit.py [sf_small] [sf_big]
+       (defaults /root/testdata/sf0.001 -> /root/testdata/sf0.1)
+Writes SHUFFLE.json and prints the SHUFFLE.md table body.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# query -> driving table (whose row growth bounds a scalable op's
+# shuffle growth; modest super-linearity from richer overlap structure
+# in bigger corpora is expected, quadratic growth is the failure mode)
+AUDIT = {
+    # documents-driven (10x rows sf0.001 -> sf0.1)
+    "token_stats": "documents",            # linear baseline
+    "exact_dup_clusters": "documents",
+    "minhash_lsh_buckets": "documents",
+    "simhash_histogram": "documents",
+    "ngram_jaccard_pairs": "documents",    # capped posting lists
+    "duplicate_passages": "documents",     # capped posting lists
+    "decontam_hits": "documents",          # broadcast bench side
+    "dsir_weights": "documents",
+    "tfidf_top_terms": "documents",
+    # embeddings-driven (4x)
+    "embedding_neardup": "embeddings",     # corpus-sized LSH blocking
+    "ann_lsh_buckets": "embeddings",
+    # events-driven (100x)
+    "quantile_sketch": "events",           # mergeable W-counter sketch
+    "range_join_event_pairs": "events",    # time-bucket blocking
+    "asof_last_order": "events",
+    "sessionization": "events",
+}
+
+
+def _snapshot(spark) -> int:
+    """Cumulative shuffle-write bytes across all stages so far."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    store = spark.sparkContext._jsc.sc().statusStore()
+    empty = jvm.java.util.Collections.emptyList()
+    stages = store.stageList(empty, False, False, gw.new_array(jvm.double, 0), empty)
+    total = 0
+    it = stages.iterator()
+    while it.hasNext():
+        total += it.next().shuffleWriteBytes()
+    return total
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
+def measure(sf_dir: str) -> dict[str, int]:
+    """One fresh session; per-query shuffle-write deltas."""
+    from ocr_service_spark.queries import queries
+    from ocr_service_spark.session import get_spark
+
+    spark = get_spark(app_name=f"shuffle-audit-{os.path.basename(sf_dir)}",
+                      master="local[8]")
+    spark.range(16).repartition(8).mapInPandas(lambda it: it, "id long").count()
+    qs = queries()
+    out: dict[str, int] = {}
+    for name in AUDIT:
+        before = _snapshot(spark)
+        qs[name](spark, sf_dir).collect()
+        out[name] = _snapshot(spark) - before
+    spark.stop()
+    return out
+
+
+def main() -> int:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    b_small = measure(small)
+    b_big = measure(big)
+    rows = []
+    for name, table in AUDIT.items():
+        in_ratio = _table_rows(big, table) / max(_table_rows(small, table), 1)
+        s, b = b_small[name], b_big[name]
+        ratio = (b / s) if s else None
+        # scalable = shuffle grows no faster than ~input x log-ish slack;
+        # the hard failure is growth tracking the SQUARE of input
+        verdict = (
+            "zero-shuffle" if b == 0 else
+            "n/a (tiny at small sf)" if s == 0 else
+            "SUB-LINEAR" if ratio <= 0.8 * in_ratio else
+            "~linear" if ratio <= 2.0 * in_ratio else
+            "SUPER-LINEAR (investigate)" if ratio < 0.5 * in_ratio ** 2 else
+            "QUADRATIC (broken)"
+        )
+        rows.append({
+            "query": name, "table": table, "input_ratio": round(in_ratio, 1),
+            "bytes_small": s, "bytes_big": b,
+            "bytes_ratio": round(ratio, 2) if ratio is not None else None,
+            "verdict": verdict,
+        })
+    with open(os.path.join(REPO, "SHUFFLE.json"), "w") as fh:
+        json.dump({"sf_small": small, "sf_big": big, "rows": rows}, fh, indent=1)
+    w = max(len(r["query"]) for r in rows)
+    print(f"{'query':{w}}  table       in-ratio  bytes@small  bytes@big  ratio  verdict")
+    for r in rows:
+        br = "-" if r["bytes_ratio"] is None else f"{r['bytes_ratio']:.2f}"
+        print(
+            f"{r['query']:{w}}  {r['table']:<10}  {r['input_ratio']:8}  "
+            f"{r['bytes_small']:11,}  {r['bytes_big']:9,}  {br:>5}  {r['verdict']}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
