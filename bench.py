@@ -40,6 +40,7 @@ HEADLINE = [
     "decontam_hits",
     "unigram_logprob",
     "dsir_weights",
+    "bpe_merges",
     "cms_token_counts",
     "bloom_seen_probe",
     "minhash_lsh_buckets",

@@ -889,3 +889,134 @@ FROM per_doc GROUP BY lang
 
 EXTRA_QUERIES["dsir_weights"] = q_dsir_weights
 EXTRA_ORACLES["dsir_weights"] = _ORACLE_DSIR
+
+
+# --- BPE merge induction ----------------------------------------------------
+# Tokenizer training as a distributed query: the first BPE_ITERS merges
+# of byte-pair encoding (Sennrich et al. 2016) learned over the corpus.
+# Each iteration is (1) adjacent-pair counts — explode + groupBy with
+# map-side combine, the pair vocabulary is tiny next to the corpus —
+# (2) a global top-1 (TakeOrdered, one row, broadcast back), and (3) a
+# row-local greedy merge applied with plain string expressions: tokens
+# are rendered with PRIVATE surrounding spaces (' '||replace(seq,' ','  ')
+# ||' ') so left-to-right non-overlapping replace() implements exactly
+# BPE's greedy merge — 'a a a' -> 'aa a', 'a b a b' -> 'ab ab' — with
+# byte-identical semantics on both engines. No shuffle touches the
+# corpus except the tiny pair-count aggregations; at 100 TB you would
+# persist the working frame between iterations (same note as the CC
+# loop in dedup.py).
+BPE_ITERS = 3
+
+
+def _bpe_pair_counts(frame: DataFrame) -> DataFrame:
+    s = F.split("seq", " ")
+    prs = F.expr(
+        "transform(sequence(1, size(s)-1), "
+        "i -> concat(element_at(s, i), ' ', element_at(s, i+1)))"
+    )
+    return (
+        frame.withColumn("s", s)
+        .filter(F.size("s") >= 2)
+        .select(F.explode(prs).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+    )
+
+
+def _bpe_apply(frame: DataFrame, pair: str) -> DataFrame:
+    p = pair.replace("'", "''")
+    m = pair.replace(" ", "").replace("'", "''")
+    return frame.select(
+        F.expr(
+            "trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' ', "
+            f"' {p.replace(' ', '  ')} ', ' {m} '), '  ', ' '))"
+        ).alias("seq"),
+        "wc",
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE_ITERS byte-pair merges learned from the corpus
+    (step, pair, merged token, pair count at selection time). Ties
+    break lexicographically so the learned vocabulary is deterministic
+    under any partitioning.
+
+    Like Sennrich's reference implementation, the iterations run on the
+    WORD FREQUENCY table, not word instances: one corpus groupBy builds
+    (word-as-char-seq, count), and every merge iteration then touches
+    only the vocabulary — orders of magnitude smaller than the corpus
+    and shrinking relative to it as the corpus grows. Like the
+    connected-components loop in dedup.py, each iteration collects
+    exactly ONE scalar row (the argmax pair) and feeds it back as a
+    literal — the sanctioned single-row-collect pattern, NOT a
+    driver-side data loop."""
+    docs = load(spark, sf_dir, "documents")
+    frame = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select(F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "wc")
+        .persist()
+    )
+    base = frame
+    try:
+        rows = []
+        for step in range(1, BPE_ITERS + 1):
+            top = (
+                _bpe_pair_counts(frame)
+                .orderBy(F.desc("pair_count"), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            r = top[0]
+            rows.append(
+                (step, r["pair"], r["pair"].replace(" ", ""), r["pair_count"])
+            )
+            if step < BPE_ITERS:
+                frame = _bpe_apply(frame, r["pair"])
+        return spark.createDataFrame(
+            rows, "step int, pair string, merged string, pair_count long"
+        )
+    finally:
+        base.unpersist()
+
+
+def _bpe_sql() -> str:
+    parts = [
+        """w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq,
+              count(*) AS wc
+       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       WHERE len(w) > 0 GROUP BY 1)"""
+    ]
+    for i in range(1, BPE_ITERS + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""p{i} AS (SELECT s[i] || ' ' || s[i+1] AS pair, sum(wc) AS c
+       FROM (SELECT string_split(seq, ' ') AS s, wc FROM {prev}) t,
+            unnest(range(1, len(s))) u(i)
+       GROUP BY 1)"""
+        )
+        parts.append(
+            f"""t{i} AS (SELECT pair, replace(pair, ' ', '') AS merged, c
+       FROM p{i} ORDER BY c DESC, pair LIMIT 1)"""
+        )
+        if i < BPE_ITERS:
+            parts.append(
+                f"""w{i} AS (SELECT trim(replace(replace(
+         ' ' || replace(seq, ' ', '  ') || ' ',
+         (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM t{i}),
+         (SELECT ' ' || merged || ' ' FROM t{i})), '  ', ' ')) AS seq, wc
+       FROM {prev})"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, pair, merged, CAST(c AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(1, BPE_ITERS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+EXTRA_QUERIES["bpe_merges"] = q_bpe_merges
+EXTRA_ORACLES["bpe_merges"] = _bpe_sql()

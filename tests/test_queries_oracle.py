@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-23:] == [
+    assert names[-24:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -56,6 +56,7 @@ def test_registry_consistency():
         "unigram_logprob",
         "cms_token_counts",
         "dsir_weights",
+        "bpe_merges",
         "kmeans_clusters",
         "ann_recall",
         "pq_codes",

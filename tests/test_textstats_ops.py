@@ -23,3 +23,30 @@ def test_dsir_separates_target_language(spark, tmp_path):
     assert rows["en"]["avg_logweight"] > 0 > rows["de"]["avg_logweight"]
     assert rows["en"]["n_positive"] == 10
     assert rows["de"]["n_positive"] == 0
+
+
+def test_bpe_merges_greedy_and_ranked(spark, tmp_path):
+    """Hand-computable corpus: 'aaa' words exercise the greedy
+    left-to-right overlap rule ('a a a' merges to 'aa a', NOT 'aa aa'),
+    'bc' words interleave by count so the ranking alternates between
+    merge families across iterations."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    rows = [(1, "en", "aaa aaa"), (2, "en", "bc bc bc")]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    got = [
+        (r["step"], r["pair"], r["merged"], r["pair_count"])
+        for r in textstats.q_bpe_merges(spark, str(out))
+        .orderBy("step")
+        .collect()
+    ]
+    # step1: (a,a) counted WITH overlap = 2 per 'aaa' word -> 4, beats (b,c)=3
+    # step2: 'aaa'->'aa a' leaves (aa,a)=2, so (b,c)=3 wins
+    # step3: only (aa,a)=2 remains
+    assert got == [
+        (1, "a a", "aa", 4),
+        (2, "b c", "bc", 3),
+        (3, "aa a", "aaa", 2),
+    ]
