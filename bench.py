@@ -69,6 +69,7 @@ HEADLINE = [
     "range_join_event_pairs",
     "kmv_distinct_estimate",
     "quantile_sketch",
+    "zorder_locality",
     "sequence_packing",
     "source_mixture_weights",
     # leakage_safe_split is excluded like neardup_components: both are

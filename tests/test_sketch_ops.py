@@ -45,3 +45,14 @@ def test_quantile_sketch_partition_invariant(spark, sf001, monkeypatch):
     monkeypatch.setattr(relational, "load", skewed_load)
     alt = {r["q"]: r["est"] for r in relational.q_quantile_sketch(spark, sf001).collect()}
     assert base == alt
+
+
+def test_zorder_beats_natural_layout(spark, sf001):
+    """Z-order clustering must strictly out-prune the natural
+    time-ordered layout on box queries: fewer blocks scanned, higher
+    skip fraction — the property that justifies paying the clustering
+    sort at all."""
+    rows = {r["layout"]: r for r in relational.q_zorder_locality(spark, sf001).collect()}
+    assert rows["zorder"]["avg_blocks_scanned"] < rows["natural"]["avg_blocks_scanned"]
+    assert rows["zorder"]["skip_fraction"] > rows["natural"]["skip_fraction"]
+    assert rows["zorder"]["n_blocks"] == rows["natural"]["n_blocks"] == relational.ZORDER_BLOCKS
