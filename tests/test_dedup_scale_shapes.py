@@ -176,3 +176,74 @@ def test_duplicate_passages_positions_and_cap(spark, passage_corpus):
     )
     oracle = con.execute(dedup.EXTRA_ORACLES["duplicate_passages"]).fetchall()
     assert oracle == [(1, 2, 3, 6, 30)]
+
+
+def _brute_force_passages(texts, w, min_tokens, cap):
+    """Pure-python reference: capped posting lists, then maximal
+    diagonal runs per doc pair — the spec q_duplicate_passages must
+    match on ANY corpus."""
+    from collections import defaultdict
+
+    shingles = defaultdict(list)  # shingle -> [(doc_id, pos)]
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        for i in range(len(toks) - w + 1):
+            shingles[" ".join(toks[i:i + w])].append((doc_id, i + 1))
+    matches = defaultdict(set)  # (da, db) -> {(pa, pb)}
+    for occ in shingles.values():
+        if not 2 <= len(occ) <= cap:
+            continue
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    matches[(da, db)].add((pa, pb))
+    out = set()
+    for (da, db), ms in matches.items():
+        by_diag = defaultdict(list)
+        for pa, pb in ms:
+            by_diag[pa - pb].append(pa)
+        for diag, pas in by_diag.items():
+            pas.sort()
+            run_start = prev = pas[0]
+            for pa in pas[1:] + [None]:
+                if pa is not None and pa == prev + 1:
+                    prev = pa
+                    continue
+                run_len = prev - run_start + 1
+                if run_len + w - 1 >= min_tokens:
+                    out.add((da, db, run_start, run_start - diag, run_len + w - 1))
+                if pa is not None:
+                    run_start = prev = pa
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_duplicate_passages_matches_brute_force(spark, tmp_path, seed):
+    """Random corpora with planted shared passages: the distributed
+    gaps-and-islands result must equal the quadratic reference finder
+    exactly — every pair, every start position, every length."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(8)]
+    passage = [f"p{seed}_{i}" for i in range(rng.randint(14, 25))]
+    texts = []
+    for d in range(6):
+        toks = [vocab[rng.randint(len(vocab))] for _ in range(rng.randint(10, 30))]
+        if d in (1, 3, 4):  # plant the passage at a random offset
+            at = rng.randint(0, len(toks) + 1)
+            toks = toks[:at] + passage + toks[at:]
+        texts.append((d, " ".join(toks)))
+    out = tmp_path / "sf"
+    out.mkdir()
+    spark.createDataFrame(
+        [(d, "en", t) for d, t in texts], "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["passage_tokens"])
+        for r in dedup.q_duplicate_passages(spark, str(out)).collect()
+    }
+    want = _brute_force_passages(
+        texts, dedup.PASSAGE_W, dedup.PASSAGE_MIN_TOKENS, dedup.PASSAGE_MAX_POSTING
+    )
+    assert got == want
