@@ -57,6 +57,7 @@ HEADLINE = [
     "pq_adc_probe",  # ... and the integer-LUT asymmetric-distance scan
     "pq_recall",  # ADC recall@10 vs exact L2 over the seed-query panel
     "ann_ivfpq_probe",  # the composed IVF+PQ (IVFADC) production probe
+    "hard_negatives",
     "kmeans_clusters",
     "ann_recall",
     "sessionization",

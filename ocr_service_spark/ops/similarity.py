@@ -1156,3 +1156,80 @@ ORACLES = {
     "ann_ivf_probe": _ORACLE_IVF_PROBE,
     "label_centroid_sizes": _ORACLE_CENTROID,
 }
+
+
+# --- hard-negative mining ---------------------------------------------------
+# Contrastive-training data prep: for each anchor embedding, the most
+# similar vectors with a DIFFERENT label — the "hard negatives" an
+# embedding-model trainer pairs with each anchor so the margin is
+# learned where it is tightest. Same panel-broadcast shape as the
+# recall harness: anchors broadcast against the corpus, candidates
+# ranked with the shared two-level top-K (no single-task corpus sort).
+HN_NQ = 8   # anchor panel size (vec_id < HN_NQ)
+HN_K = 5    # hard negatives per anchor
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-HN_K different-label neighbors per anchor with their cosine
+    (rounded to 6 so both engines agree bit-for-bit after their own
+    summation orders): (qid, rank, vec_id, cos). The cosine is the
+    training margin signal; ranks tie-break on vec_id."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    qs = emb.filter(F.col("vec_id") < HN_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        _norm("v").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter((F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("qlabel")))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot / (_norm("v") * F.col("qn")), 6).alias("cos"),
+        )
+    )
+    w1 = Window.partitionBy("qid", "part").orderBy(F.desc("cos"), "vec_id")
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    local = (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= HN_K)
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= HN_K)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
+_ORACLE_HARDNEG = f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+      FROM e WHERE vec_id < {HN_NQ}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * q.qn), 6) AS cos
+  FROM e CROSS JOIN q
+  WHERE e.vec_id != q.qid AND e.label != q.qlabel
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+FROM (SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {HN_K}
+"""
+
+
+EXTRA_QUERIES["hard_negatives"] = q_hard_negatives
+EXTRA_ORACLES["hard_negatives"] = _ORACLE_HARDNEG

@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-25:] == [
+    assert names[-26:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -63,6 +63,7 @@ def test_registry_consistency():
         "pq_adc_probe",
         "pq_recall",
         "ann_ivfpq_probe",
+        "hard_negatives",
         "leakage_safe_split",
         "semantic_dedup",
         "bloom_seen_probe",
