@@ -77,6 +77,7 @@ HEADLINE = [
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline
     "windowed_counts_append",
+    "stream_stream_join",
 ]
 
 # synthetic extraction corpus size per sf of the driver tables

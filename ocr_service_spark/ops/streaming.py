@@ -506,10 +506,77 @@ FROM events GROUP BY event_type
 """
 
 
+ATTRIB_WINDOW = "30 minutes"  # click -> purchase attribution horizon
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — the last Structured Streaming
+    operator class the surface demonstrates: click->purchase attribution
+    joining two live streams on user_id with an event-time band
+    (purchase within ATTRIB_WINDOW after the click). Both sides carry
+    watermarks and the join condition carries the time interval, which
+    is what lets Spark BOUND the join state: a buffered click can be
+    dropped once the watermark passes c_ts + window (no match can
+    arrive), a purchase once the watermark passes its own p_ts — state
+    is O(events inside the horizon), never O(stream). Inner-join
+    matches emit as soon as both sides arrive. The staged replay is one
+    file -> one micro-batch, so the watermark never advances mid-stream
+    and no state is evicted during the oracle run — the result is
+    exactly the batch interval join, DuckDB-checkable (same staging
+    argument as streaming_dedup). The per-user rollup happens
+    batch-side on the drained matches."""
+    clicks = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", WATERMARK)
+    )
+    buys = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            f"user_id = b_user AND p_ts >= c_ts "
+            f"AND p_ts <= c_ts + interval {ATTRIB_WINDOW}"
+        ),
+    )
+    out = _drain_to_df(spark, joined, "ss_join_sink", "append")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_attributed_pairs"),
+            F.countDistinct("p_id").alias("n_attributed_purchases"),
+        )
+    )
+
+
+_ORACLE_SS_JOIN = """
+SELECT c.user_id,
+       count(*) AS n_attributed_pairs,
+       count(DISTINCT p.event_id) AS n_attributed_purchases
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+GROUP BY c.user_id
+"""
+
+
 EXTRA_QUERIES = {
     "streaming_dedup": q_streaming_dedup,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 EXTRA_ORACLES = {
     "streaming_dedup": _ORACLE_STREAM_DEDUP,
+    "stream_stream_join": _ORACLE_SS_JOIN,
 }

@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-26:] == [
+    assert names[-27:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -71,6 +71,7 @@ def test_registry_consistency():
         "sequence_packing",
         "source_mixture_weights",
         "streaming_dedup",
+        "stream_stream_join",
         "quantile_sketch",
         "zorder_locality",
     ]

@@ -25,6 +25,7 @@ SKIP = {
     "session_windows",
     "stateful_session_counts",
     "streaming_dedup",
+    "stream_stream_join",
     "extract_pipeline",
     "media_metadata",
     "media_thumbnails",
