@@ -738,7 +738,10 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.count("*").alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi")
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(QSKETCH_W)
+    # +1e-9 keeps the width strictly positive when every value is
+    # identical (ANSI mode would otherwise raise divide-by-zero); the
+    # oracle carries the same epsilon so bucket arithmetic stays twin
+    width = (F.col("hi") - F.col("lo") + F.lit(1e-9)) / F.lit(QSKETCH_W)
     hist = (
         ev.crossJoin(F.broadcast(bounds))
         .select(
@@ -770,7 +773,7 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q",
             F.round(
                 F.col("lo")
-                + ((F.col("hi") - F.col("lo")) / F.lit(QSKETCH_W))
+                + ((F.col("hi") - F.col("lo") + F.lit(1e-9)) / F.lit(QSKETCH_W))
                 * (
                     F.col("bucket")
                     + (F.col("target") - F.col("cum_prev")) / F.col("bc")
@@ -811,7 +814,7 @@ _ORACLE_QSKETCH = f"""
 WITH bounds AS (SELECT count(*) AS n, min(value) AS lo, max(value) AS hi
                 FROM events),
 hist AS (
-  SELECT least(CAST(floor((value - lo) / ((hi - lo) / {QSKETCH_W})) AS INT),
+  SELECT least(CAST(floor((value - lo) / ((hi - lo + 1e-9) / {QSKETCH_W})) AS INT),
                {QSKETCH_W - 1}) AS bucket,
          count(*) AS bc
   FROM events CROSS JOIN bounds
@@ -832,7 +835,7 @@ cand AS (
 ),
 est AS (
   SELECT q,
-         round(lo + ((hi - lo) / {QSKETCH_W})
+         round(lo + ((hi - lo + 1e-9) / {QSKETCH_W})
                     * (bucket + (target - cum_prev) / bc), 6) AS est
   FROM cand WHERE rn = 1
 ),

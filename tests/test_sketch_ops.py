@@ -56,3 +56,44 @@ def test_zorder_beats_natural_layout(spark, sf001):
     assert rows["zorder"]["avg_blocks_scanned"] < rows["natural"]["avg_blocks_scanned"]
     assert rows["zorder"]["skip_fraction"] > rows["natural"]["skip_fraction"]
     assert rows["zorder"]["n_blocks"] == rows["natural"]["n_blocks"] == relational.ZORDER_BLOCKS
+
+
+def test_quantile_sketch_degenerate_constant_column(spark, tmp_path):
+    """All-equal values: width collapses, every row lands in bucket 0,
+    and both the estimate and the exact quantile equal the constant —
+    no division blowup, no NaN."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    rows = [(i, None, i % 3, "click", 7.5, "{}") for i in range(50)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(out / "events.parquet"))
+    got = relational.q_quantile_sketch(spark, str(out)).collect()
+    assert len(got) == len(relational.QSKETCH_QS)
+    for r in got:
+        assert r["est"] == r["exact_v"] == 7.5
+        assert r["abs_err"] == 0.0
+
+
+def test_zorder_degenerate_single_user(spark, tmp_path):
+    """One user (zero spread on the u axis): both layouts degenerate to
+    pure time order and must score identically — the measurement cannot
+    invent a z-order win where no second dimension exists."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 42, "click", 1.0, "{}")
+        for i in range(200)
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(out / "events.parquet"))
+    got = {r["layout"]: r for r in relational.q_zorder_locality(spark, str(out)).collect()}
+    assert got["zorder"]["avg_blocks_scanned"] == got["natural"]["avg_blocks_scanned"]
