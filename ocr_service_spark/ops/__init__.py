@@ -9,6 +9,30 @@ hashes after sorting columns by name).
 from __future__ import annotations
 
 
+def md5_bucket(salt: str, col, mod):
+    """First 13 hex chars (52 bits) of the salted md5, mod ``mod`` — THE
+    portable bucket-hash construction shared by the CMS, Bloom, and DSIR
+    sketches (and mirrored by md5_bucket_sql on the oracle side).
+    Salting — not disjoint digest slices — keeps the address space
+    52-bit per hash so the modulus can grow with the corpus. ``mod``
+    may be an int or a Column."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 13), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
+def md5_bucket_sql(salt_sql: str, col_sql: str, mod_sql) -> str:
+    """DuckDB twin of md5_bucket; arguments are SQL expression strings."""
+    return (
+        f"CAST(concat('0x', substring(md5(concat({salt_sql}, {col_sql})), 1, 13)) "
+        f"AS BIGINT) % {mod_sql}"
+    )
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import load, widen
+from . import load, md5_bucket, widen
 
 N_MINHASHES = 4
 CHAR_SHINGLE = 5
@@ -708,12 +708,7 @@ def _bloom_pos(col, j: int, m_expr):
     m can grow with the corpus past 2^32 bits (disjoint 8-hex slices
     would pin the reachable space at 4 Gbit and silently saturate the
     filter at ~1 G keys)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 13), 16, 10
-        ).cast("long")
-        % m_expr
-    )
+    return md5_bucket(f"{j}:", col, m_expr)
 
 
 def q_bloom_seen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,7 +870,7 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant), so maximal runs fall out of a gaps-and-islands window
     partitioned by (doc_a, doc_b, diagonal) — partitions are per-pair
     match sets, never corpus-sized. No suffix array, no all-pairs scan."""
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(load(spark, sf_dir, "documents"))
     base = docs.select("doc_id", F.split("text", " ").alias("l"))
     sh = (
         base.filter(F.size("l") >= PASSAGE_W)

@@ -928,8 +928,13 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             keyed.withColumn("rk", F.row_number().over(w))
             .withColumn(
                 "block",
+                # rk is IntegerType from row_number: cast to long BEFORE
+                # the *ZORDER_BLOCKS multiply or it overflows past ~33M
+                # rows (ANSI arithmetic error at scale)
                 F.least(
-                    F.floor((F.col("rk") - 1) * ZORDER_BLOCKS / F.col("n")).cast("int"),
+                    F.floor(
+                        (F.col("rk").cast("long") - 1) * ZORDER_BLOCKS / F.col("n")
+                    ).cast("int"),
                     F.lit(ZORDER_BLOCKS - 1),
                 ),
             )

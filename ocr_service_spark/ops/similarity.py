@@ -571,28 +571,37 @@ ANN_RECALL_NQ = 16  # sampled query panel size
 _RECALL_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _two_level_topk(df: DataFrame, order_col) -> DataFrame:
-    """Top-K (qid, vec_id) by order_col with vec_id tiebreak, in two
+def _two_level_topk(
+    df: DataFrame,
+    order_col,
+    k: int = TOP_K,
+    keep: tuple = ("qid", "vec_id"),
+    rank_name: str | None = None,
+) -> DataFrame:
+    """Top-k rows per qid by order_col with vec_id tiebreak, in two
     levels: a window partitioned ONLY by qid would sort all n candidate
     rows of a query in one task (NQ tasks total — a scale-breaker);
-    instead each input partition keeps its local top-K per qid in
-    parallel, then the final window ranks the tiny K×P survivor set.
-    Top-K is associative, so the result is placement-independent. The
-    single shared definition keeps every recall arm's ranking semantics
-    identical — a tiebreak change can never diverge between baseline
-    and index."""
+    instead each input partition keeps its local top-k per qid in
+    parallel, then the final window ranks the tiny k×P survivor set.
+    Top-k is associative, so the result is placement-independent. The
+    single shared definition keeps every consumer's ranking semantics
+    identical — a tiebreak change can never diverge between recall
+    arms or between recall and hard-negative mining. ``keep`` selects
+    the output columns; ``rank_name`` optionally exposes the final
+    rank as a column (include it in ``keep``)."""
     w1 = Window.partitionBy("qid", "part").orderBy(order_col, "vec_id")
     w2 = Window.partitionBy("qid").orderBy(order_col, "vec_id")
     local = (
         df.withColumn("part", F.spark_partition_id())
         .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= k)
     )
-    return (
-        local.withColumn("rn2", F.row_number().over(w2))
-        .filter(F.col("rn2") <= TOP_K)
-        .select("qid", "vec_id")
+    ranked = local.withColumn("rn2", F.row_number().over(w2)).filter(
+        F.col("rn2") <= k
     )
+    if rank_name is not None:
+        ranked = ranked.withColumn(rank_name, F.col("rn2"))
+    return ranked.select(*keep)
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,17 +1204,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot / (_norm("v") * F.col("qn")), 6).alias("cos"),
         )
     )
-    w1 = Window.partitionBy("qid", "part").orderBy(F.desc("cos"), "vec_id")
-    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
-    local = (
-        scored.withColumn("part", F.spark_partition_id())
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= HN_K)
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= HN_K)
-        .select("qid", "rank", "vec_id", "cos")
+    return _two_level_topk(
+        scored,
+        F.desc("cos"),
+        k=HN_K,
+        keep=("qid", "rank", "vec_id", "cos"),
+        rank_name="rank",
     )
 
 

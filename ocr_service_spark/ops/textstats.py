@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import load
+from . import load, md5_bucket, md5_bucket_sql
 
 # fixed stopword lists (tiny but deterministic signal)
 _STOP = {
@@ -695,12 +695,7 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
 
     def cell(tok_col, d: int):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{d}:"), tok_col)), 1, 13), 16, 10
-            ).cast("long")
-            % CMS_W
-        )
+        return md5_bucket(f"{d}:", tok_col, CMS_W)
 
     rows = toks.select(
         F.explode(
@@ -746,10 +741,7 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_cell_sql(tok_expr: str, d: int) -> str:
-    return (
-        f"CAST(concat('0x', substring(md5(concat('{d}:', {tok_expr})), 1, 13)) "
-        f"AS BIGINT) % {CMS_W}"
-    )
+    return md5_bucket_sql(f"'{d}:'", tok_expr, CMS_W)
 
 
 _ORACLE_CMS = f"""
@@ -790,13 +782,8 @@ DSIR_TARGET_LANG = "en"  # target-distribution subset
 
 
 def _dsir_feat(col):
-    """Bigram -> feature bucket: first 13 hex chars (52 bits) of the
-    salted md5, mod DSIR_B — portable across engines."""
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), col)), 1, 13), 16, 10)
-        .cast("long")
-        % DSIR_B
-    )
+    """Bigram -> feature bucket via the shared salted-md5 construction."""
+    return md5_bucket("dsir:", col, DSIR_B)
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,15 +911,17 @@ def _bpe_pair_counts(frame: DataFrame) -> DataFrame:
 
 
 def _bpe_apply(frame: DataFrame, pair: str) -> DataFrame:
-    p = pair.replace("'", "''")
-    m = pair.replace(" ", "").replace("'", "''")
-    return frame.select(
-        F.expr(
-            "trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' ', "
-            f"' {p.replace(' ', '  ')} ', ' {m} '), '  ', ' '))"
-        ).alias("seq"),
-        "wc",
+    """Apply one greedy merge row-locally. The pair travels as COLUMN
+    literals (F.lit / F.replace), never interpolated into SQL text — a
+    learned pair containing a quote or backslash would corrupt an
+    F.expr pattern and silently diverge from the oracle."""
+    rendered = F.concat(
+        F.lit(" "), F.replace(F.col("seq"), F.lit(" "), F.lit("  ")), F.lit(" ")
     )
+    pat = F.lit(f" {pair.replace(' ', '  ')} ")
+    rep = F.lit(f" {pair.replace(' ', '')} ")
+    merged = F.replace(F.replace(rendered, pat, rep), F.lit("  "), F.lit(" "))
+    return frame.select(F.trim(merged).alias("seq"), "wc")
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,6 +26,8 @@ SKIP = {
     "stateful_session_counts",
     "streaming_dedup",
     "stream_stream_join",
+    # iterative: runs per-step argmax collects, final frame is driver-local
+    "bpe_merges",
     "extract_pipeline",
     "media_metadata",
     "media_thumbnails",

@@ -1,4 +1,5 @@
-"""Measured shuffle-volume scaling audit (SHUFFLE.md generator).
+"""Measured shuffle-volume scaling audit (PLANS.md "Measured shuffle
+scaling" section + SHUFFLE.json generator).
 
 The plan audit (tools/plan_audit.py) counts exchanges; this tool
 measures what actually moves THROUGH them: per-query shuffle-write
@@ -16,7 +17,7 @@ snapshot deltas of the cumulative stage totals.
 
 Usage: python tools/shuffle_audit.py [sf_small] [sf_big]
        (defaults /root/testdata/sf0.001 -> /root/testdata/sf0.1)
-Writes SHUFFLE.json and prints the SHUFFLE.md table body.
+Writes SHUFFLE.json and prints the table body for the PLANS.md section.
 """
 
 from __future__ import annotations
@@ -55,7 +56,10 @@ AUDIT = {
 
 
 def _snapshot(spark) -> int:
-    """Cumulative shuffle-write bytes across all stages so far."""
+    """Cumulative shuffle-write bytes across all stages so far. The
+    status store is fed by an ASYNC listener queue — drain it first or
+    a heavy query's tail bytes land in the next query's delta."""
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
     jvm = spark._jvm
     gw = spark.sparkContext._gateway
     store = spark.sparkContext._jsc.sc().statusStore()
