@@ -50,3 +50,35 @@ def test_bpe_merges_greedy_and_ranked(spark, tmp_path):
         (2, "b c", "bc", 3),
         (3, "aa a", "aaa", 2),
     ]
+
+
+def test_bpe_merges_quote_in_pair(spark, tmp_path):
+    """A learned pair containing an apostrophe must be applied
+    verbatim (the pattern travels as column literals, not interpolated
+    SQL — a quote used to corrupt the merge pattern), and both engines
+    must agree on it."""
+    import duckdb
+
+    out = tmp_path / "sf"
+    out.mkdir()
+    rows = [(i, "en", "a'b") for i in range(10)]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    got = [
+        (r["step"], r["pair"], r["merged"], r["pair_count"])
+        for r in textstats.q_bpe_merges(spark, str(out)).orderBy("step").collect()
+    ]
+    # chars a ' b -> pairs (a,') and (',b) both x10; tiebreak picks
+    # "' b" (apostrophe sorts before 'a'); applying it must yield
+    # "a 'b" so step 2 can learn (a,'b); then nothing remains
+    assert got == [(1, "' b", "'b", 10), (2, "a 'b", "a'b", 10)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{out}/documents.parquet/*.parquet')"
+    )
+    oracle = con.execute(
+        textstats.EXTRA_ORACLES["bpe_merges"] + " ORDER BY step"
+    ).fetchall()
+    assert [tuple(r) for r in oracle] == got
