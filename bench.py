@@ -41,6 +41,7 @@ HEADLINE = [
     "unigram_logprob",
     "dsir_weights",
     "bpe_merges",
+    "pmi_cooccurrence",
     "cms_token_counts",
     "bloom_seen_probe",
     "minhash_lsh_buckets",

@@ -1009,3 +1009,94 @@ def _bpe_sql() -> str:
 
 EXTRA_QUERIES["bpe_merges"] = q_bpe_merges
 EXTRA_ORACLES["bpe_merges"] = _bpe_sql()
+
+
+# --- PMI co-occurrence ------------------------------------------------------
+# Word-association mining (the collocation/word2vec-era statistic): for
+# token pairs co-occurring within a +-PMI_WINDOW skipgram window,
+# pointwise mutual information pmi = ln( (c_ab/N_pairs) /
+# ((c_a/N_tok) * (c_b/N_tok)) ). Pair generation is ROW-LOCAL (a
+# higher-order-function expansion over each doc's token array — never a
+# position self-join, which would shuffle the exploded corpus on
+# doc_id); the three aggregates are groupBys with map-side combine, and
+# the unigram model joins back broadcast (a vocabulary is tiny next to
+# the corpus).
+PMI_WINDOW = 2      # skipgram half-window, in tokens
+PMI_MIN_COUNT = 5   # pair support floor
+PMI_TOP = 20        # reported pairs
+
+
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PMI_TOP token pairs by PMI (support >= PMI_MIN_COUNT):
+    (wa, wb, pair_count, pmi). Pairs are direction-normalized
+    (wa <= wb); PMI rounds to 6 so both engines rank identically."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(F.split("text", " ").alias("l"))
+    pair_arr = F.expr(
+        f"""flatten(transform(sequence(1, size(l)),
+              i -> transform(sequence(1, {PMI_WINDOW}),
+                d -> IF(i + d <= size(l),
+                        struct(least(element_at(l, i), element_at(l, i + d)) AS wa,
+                               greatest(element_at(l, i), element_at(l, i + d)) AS wb),
+                        NULL))))"""
+    )
+    pairs = base.select(F.explode(pair_arr).alias("p")).filter(
+        F.col("p").isNotNull()
+    ).select("p.wa", "p.wb")
+    uni = base.select(F.explode("l").alias("w")).groupBy("w").agg(
+        F.count("*").alias("cw")
+    )
+    n_tok = uni.agg(F.sum("cw").alias("n_tok"))
+    pc = pairs.groupBy("wa", "wb").agg(F.count("*").alias("pair_count"))
+    n_pairs = pc.agg(F.sum("pair_count").alias("n_pairs"))
+    ua = uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))
+    scored = (
+        pc.filter(F.col("pair_count") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "wa",
+            "wb",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("n_pairs"))
+                    / ((F.col("ca") / F.col("n_tok")) * (F.col("cb") / F.col("n_tok")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "wa", "wb").limit(PMI_TOP)
+
+
+_ORACLE_PMI = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+pairs AS (
+  SELECT least(l[i], l[i + d]) AS wa, greatest(l[i], l[i + d]) AS wb
+  FROM toks, unnest(range(1, len(l) + 1)) t(i), unnest(range(1, {PMI_WINDOW + 1})) u(d)
+  WHERE i + d <= len(l)
+),
+uni AS (SELECT unnest(l) AS w FROM toks),
+cw AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+nt AS (SELECT sum(cw) AS n_tok FROM cw),
+pc AS (SELECT wa, wb, count(*) AS pair_count FROM pairs GROUP BY 1, 2),
+np AS (SELECT sum(pair_count) AS n_pairs FROM pc)
+SELECT wa, wb, pair_count,
+       round(ln((pair_count / CAST(n_pairs AS DOUBLE))
+                / ((ca.cw / CAST(n_tok AS DOUBLE)) * (cb.cw / CAST(n_tok AS DOUBLE)))), 6) AS pmi
+FROM pc
+JOIN cw ca ON ca.w = pc.wa
+JOIN cw cb ON cb.w = pc.wb
+CROSS JOIN nt CROSS JOIN np
+WHERE pair_count >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, wa, wb
+LIMIT {PMI_TOP}
+"""
+
+
+EXTRA_QUERIES["pmi_cooccurrence"] = q_pmi_cooccurrence
+EXTRA_ORACLES["pmi_cooccurrence"] = _ORACLE_PMI

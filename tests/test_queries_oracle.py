@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-27:] == [
+    assert names[-28:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -57,6 +57,7 @@ def test_registry_consistency():
         "cms_token_counts",
         "dsir_weights",
         "bpe_merges",
+        "pmi_cooccurrence",
         "kmeans_clusters",
         "ann_recall",
         "pq_codes",
