@@ -42,6 +42,7 @@ HEADLINE = [
     "dsir_weights",
     "bpe_merges",
     "pmi_cooccurrence",
+    "doc_chunks",
     "cms_token_counts",
     "bloom_seen_probe",
     "minhash_lsh_buckets",

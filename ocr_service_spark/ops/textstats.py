@@ -1100,3 +1100,59 @@ LIMIT {PMI_TOP}
 
 EXTRA_QUERIES["pmi_cooccurrence"] = q_pmi_cooccurrence
 EXTRA_ORACLES["pmi_cooccurrence"] = _ORACLE_PMI
+
+
+# --- document chunking ------------------------------------------------------
+# RAG / context-window prep: split each document into fixed-size token
+# windows with overlap, each chunk carrying a stable content hash (the
+# retrieval index key). Pure row-local expansion — sequence + slice
+# higher-order functions, no shuffle until the (tiny) per-chunk
+# projection is consumed downstream.
+CHUNK_TOKENS = 32   # window size
+CHUNK_STRIDE = 24   # step (CHUNK_TOKENS - CHUNK_STRIDE tokens overlap)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks: (doc_id, chunk_idx, n_tokens,
+    chunk_hash). The final (short) chunk is kept iff it adds tokens
+    beyond the previous window; every chunk start is 1 + k*stride, so
+    chunk boundaries are reproducible for incremental re-indexing."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("l"))
+    chunks = F.expr(
+        f"""transform(
+              sequence(0, greatest(CAST(ceil((size(l) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT), 0)),
+              k -> struct(
+                k AS chunk_idx,
+                size(slice(l, 1 + k * {CHUNK_STRIDE}, {CHUNK_TOKENS})) AS n_tokens,
+                md5(array_join(slice(l, 1 + k * {CHUNK_STRIDE}, {CHUNK_TOKENS}), ' ')) AS chunk_hash))"""
+    )
+    return (
+        base.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("c.n_tokens").cast("long").alias("n_tokens"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+_ORACLE_CHUNKS = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ks AS (
+  SELECT doc_id, l,
+         unnest(range(0, greatest(CAST(ceil((len(l) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT), 0) + 1)) AS k
+  FROM toks
+)
+SELECT doc_id, k AS chunk_idx,
+       CAST(len(l[1 + k * {CHUNK_STRIDE} : k * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(l[1 + k * {CHUNK_STRIDE} : k * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_hash
+FROM ks
+WHERE len(l[1 + k * {CHUNK_STRIDE} : k * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) > 0
+"""
+
+
+EXTRA_QUERIES["doc_chunks"] = q_doc_chunks
+EXTRA_ORACLES["doc_chunks"] = _ORACLE_CHUNKS

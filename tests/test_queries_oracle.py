@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-28:] == [
+    assert names[-29:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -58,6 +58,7 @@ def test_registry_consistency():
         "dsir_weights",
         "bpe_merges",
         "pmi_cooccurrence",
+        "doc_chunks",
         "kmeans_clusters",
         "ann_recall",
         "pq_codes",
