@@ -97,3 +97,24 @@ def test_zorder_degenerate_single_user(spark, tmp_path):
     ).coalesce(1).write.parquet(str(out / "events.parquet"))
     got = {r["layout"]: r for r in relational.q_zorder_locality(spark, str(out)).collect()}
     assert got["zorder"]["avg_blocks_scanned"] == got["natural"]["avg_blocks_scanned"]
+
+
+def test_hard_negatives_exclude_anchor_label(spark, sf001):
+    """Every mined negative must carry a label different from its
+    anchor's, ranks must be contiguous 1..K per anchor, and similarity
+    must be non-increasing with rank."""
+    from ocr_service_spark.ops import similarity
+
+    emb = relational.load(spark, sf001, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = similarity.q_hard_negatives(spark, sf001).collect()
+    by_q = {}
+    for r in rows:
+        assert labels[r["vec_id"]] != labels[r["qid"]]
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["cos"]))
+    assert len(by_q) == similarity.HN_NQ
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, similarity.HN_K + 1))
+        coss = [c for _, c in rs]
+        assert coss == sorted(coss, reverse=True)
