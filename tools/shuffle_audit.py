@@ -44,9 +44,12 @@ AUDIT = {
     "decontam_hits": "documents",          # broadcast bench side
     "dsir_weights": "documents",
     "tfidf_top_terms": "documents",
+    "pmi_cooccurrence": "documents",       # row-local skipgram pairs
+    "doc_chunks": "documents",             # pure projection: zero-shuffle
     # embeddings-driven (4x)
     "embedding_neardup": "embeddings",     # corpus-sized LSH blocking
     "ann_lsh_buckets": "embeddings",
+    "hard_negatives": "embeddings",        # panel broadcast + 2-level topk
     # events-driven (100x)
     "quantile_sketch": "events",           # mergeable W-counter sketch
     "range_join_event_pairs": "events",    # time-bucket blocking
