@@ -73,6 +73,7 @@ HEADLINE = [
     "kmv_distinct_estimate",
     "quantile_sketch",
     "zorder_locality",
+    "funnel_conversion",
     "sequence_packing",
     "source_mixture_weights",
     # leakage_safe_split is excluded like neardup_components: both are

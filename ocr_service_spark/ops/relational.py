@@ -1018,3 +1018,90 @@ UNION ALL
 
 EXTRA_QUERIES["zorder_locality"] = q_zorder_locality
 EXTRA_ORACLES["zorder_locality"] = _zorder_sql()
+
+
+# --- funnel analysis --------------------------------------------------------
+# Ordered-sequence conversion (the Amplitude/Snowplow funnel shape):
+# how many users performed step 1, then step 2 strictly after it, then
+# step 3 strictly after that. Each step's first-eligible timestamp is a
+# conditional aggregate over the user's events joined against the
+# previous step's time — one groupBy per step over an ever-smaller
+# survivor set, dimension side broadcast. No window over the full
+# event stream, no per-user event collection.
+FUNNEL_STEPS = ("click", "view", "purchase")
+FUNNEL_HORIZON = "1 day"  # max delay between consecutive steps
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per funnel depth: users reaching it and the conversion rate from
+    step 1. Depth k requires the first step-k event strictly after the
+    user's first step-(k-1)-eligible event AND within FUNNEL_HORIZON of
+    it — the standard ordered funnel with a conversion window, not a
+    bag-of-events intersection."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    reached = None  # DataFrame(user_id, t) of users at the previous depth
+    counts = []
+    for depth, step in enumerate(FUNNEL_STEPS, start=1):
+        step_ev = ev.filter(F.col("event_type") == step)
+        if reached is None:
+            reached = step_ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            reached = (
+                step_ev.join(F.broadcast(reached), "user_id")
+                .filter(
+                    (F.col("ts") > F.col("t"))
+                    & (F.col("ts") <= F.col("t") + F.expr(f"interval {FUNNEL_HORIZON}"))
+                )
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        counts.append(
+            reached.agg(
+                F.lit(depth).alias("depth"),
+                F.lit(step).alias("step"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    base = out.filter(F.col("depth") == 1).select(
+        F.col("n_users").alias("n_base")
+    )
+    return out.crossJoin(F.broadcast(base)).select(
+        "depth",
+        "step",
+        "n_users",
+        F.round(F.col("n_users") / F.col("n_base"), 4).alias("conversion"),
+    )
+
+
+_ORACLE_FUNNEL = f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t
+         AND e.ts <= s1.t + INTERVAL '{FUNNEL_HORIZON}'
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t
+         AND e.ts <= s2.t + INTERVAL '{FUNNEL_HORIZON}'
+       GROUP BY e.user_id),
+f AS (
+  SELECT 1 AS depth, '{FUNNEL_STEPS[0]}' AS step, count(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, '{FUNNEL_STEPS[1]}', count(*) FROM s2
+  UNION ALL
+  SELECT 3, '{FUNNEL_STEPS[2]}', count(*) FROM s3
+)
+SELECT depth, step, n_users,
+       round(n_users / CAST((SELECT n_users FROM f WHERE depth = 1) AS DOUBLE), 4)
+         AS conversion
+FROM f
+"""
+
+
+EXTRA_QUERIES["funnel_conversion"] = q_funnel_conversion
+EXTRA_ORACLES["funnel_conversion"] = _ORACLE_FUNNEL

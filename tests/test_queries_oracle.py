@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-29:] == [
+    assert names[-30:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -76,6 +76,7 @@ def test_registry_consistency():
         "stream_stream_join",
         "quantile_sketch",
         "zorder_locality",
+        "funnel_conversion",
     ]
 
 
