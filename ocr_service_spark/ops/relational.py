@@ -1026,8 +1026,12 @@ EXTRA_ORACLES["zorder_locality"] = _zorder_sql()
 # step 3 strictly after that. Each step's first-eligible timestamp is a
 # conditional aggregate over the user's events joined against the
 # previous step's time — one groupBy per step over an ever-smaller
-# survivor set, dimension side broadcast. No window over the full
-# event stream, no per-user event collection.
+# survivor set. The survivor join carries NO broadcast hint: at test
+# scale AQE converts it to broadcast automatically, while at 10^9-user
+# scale the survivor frame can exceed executor memory and the same
+# plan falls back to a shuffle join instead of OOMing on a forced
+# broadcast. No window over the full event stream, no per-user event
+# collection.
 FUNNEL_STEPS = ("click", "view", "purchase")
 FUNNEL_HORIZON = "1 day"  # max delay between consecutive steps
 
@@ -1047,7 +1051,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             reached = step_ev.groupBy("user_id").agg(F.min("ts").alias("t"))
         else:
             reached = (
-                step_ev.join(F.broadcast(reached), "user_id")
+                step_ev.join(reached, "user_id")
                 .filter(
                     (F.col("ts") > F.col("t"))
                     & (F.col("ts") <= F.col("t") + F.expr(f"interval {FUNNEL_HORIZON}"))
