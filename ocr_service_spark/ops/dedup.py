@@ -759,9 +759,12 @@ def q_bloom_seen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[_bloom_pos(F.col("key"), j, m) for j in range(BLOOM_K)])
         ).alias("b"),
     )
-    # membership = ALL k positions set; the inner join drops unset ones
+    # membership = ALL k positions set; the inner join drops unset ones.
+    # Broadcast the PANEL (2 arms x BLOOM_PROBE_N x k rows, constant),
+    # never the bit frame — the filter's set bits grow with the corpus
+    # and would not fit as a broadcast at seen-set scale
     hits = (
-        panel_pos.join(F.broadcast(bits), "b")
+        bits.join(F.broadcast(panel_pos), "b")
         .groupBy("doc_id", "arm")
         .agg(F.count("*").alias("n_set"))
         .filter(F.col("n_set") == BLOOM_K)

@@ -431,8 +431,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
         6,
     )
+    # df_ is vocabulary-sized (unbounded at web scale): no broadcast
+    # hint — AQE broadcasts it while small, shuffle-joins it when not
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "term", score.alias("score"))
     )
@@ -608,8 +610,9 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram log-probability of its tokens under the corpus's own unigram
     model, and flag low-likelihood docs (CCNet's perplexity filtering,
     Wenzek et al. 2020, with a self-trained unigram LM). Shapes: one tf
-    shuffle builds the model, the model joins back broadcast (a vocab is
-    tiny next to the corpus), one per-doc rollup, one per-source rollup.
+    shuffle builds the model, the model joins back (AQE broadcasts it
+    while small — no forced hint, since a web-scale vocabulary outgrows
+    executor memory), one per-doc rollup, one per-source rollup.
     Per-doc means round to 6 decimals before thresholding so the flag is
     engine-precision-independent."""
     docs = load(spark, sf_dir, "documents")
@@ -618,10 +621,12 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = terms.groupBy("term").agg(F.count("*").alias("tc"))
     # corpus token total folds out of the vocab aggregate — no third
-    # corpus scan (vocab is tiny; summing it is a broadcast-sized agg)
+    # corpus scan. The vocab join carries NO broadcast hint: a web-scale
+    # vocabulary outgrows executor memory (Heaps' law), and AQE still
+    # broadcasts it while it is small
     tot = vocab.agg(F.sum("tc").alias("n_tok_corpus"))
     per_doc = (
-        terms.join(F.broadcast(vocab), "term")
+        terms.join(vocab, "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "source")
         .agg(
@@ -1019,8 +1024,8 @@ EXTRA_ORACLES["bpe_merges"] = _bpe_sql()
 # higher-order-function expansion over each doc's token array — never a
 # position self-join, which would shuffle the exploded corpus on
 # doc_id); the three aggregates are groupBys with map-side combine, and
-# the unigram model joins back broadcast (a vocabulary is tiny next to
-# the corpus).
+# the unigram model joins back without a forced broadcast hint (AQE
+# broadcasts it while small; a web-scale vocabulary would not fit).
 PMI_WINDOW = 2      # skipgram half-window, in tokens
 PMI_MIN_COUNT = 5   # pair support floor
 PMI_TOP = 20        # reported pairs
@@ -1053,8 +1058,8 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub = uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))
     scored = (
         pc.filter(F.col("pair_count") >= PMI_MIN_COUNT)
-        .join(F.broadcast(ua), "wa")
-        .join(F.broadcast(ub), "wb")
+        .join(ua, "wa")
+        .join(ub, "wb")
         .crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(n_pairs))
         .select(
