@@ -74,6 +74,8 @@ HEADLINE = [
     "quantile_sketch",
     "zorder_locality",
     "funnel_conversion",
+    "retention_cohorts",
+    "psi_drift",
     "sequence_packing",
     "source_mixture_weights",
     # leakage_safe_split is excluded like neardup_components: both are

@@ -1109,3 +1109,159 @@ FROM f
 
 EXTRA_QUERIES["funnel_conversion"] = q_funnel_conversion
 EXTRA_ORACLES["funnel_conversion"] = _ORACLE_FUNNEL
+
+
+# --- cohort retention -------------------------------------------------------
+# The retention matrix (product-analytics companion to the funnel):
+# users cohorted by the day of their first event, each cell = the
+# fraction of a cohort still active N days later. Days are absolute
+# epoch-day indexes (floor(unix_ts / 86400)) so both engines bucket
+# identically with no calendar/locale arithmetic. Shapes: one distinct
+# on (user, day) — the activity matrix is tiny next to the event
+# stream — one per-user min for the cohort, one groupBy for the cells;
+# the per-cohort sizes join back as a dimension.
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_day, day_offset, n_active, retention): distinct active
+    users per cohort x days-since-first-day, with retention relative
+    to the cohort's own size (offset 0 row = 1.0 by construction)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 86400).alias("wk")
+    )
+    activity = ev.distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    sizes = cohort.groupBy("cwk").agg(F.count("*").alias("cohort_size"))
+    cells = (
+        activity.join(cohort, "user_id")
+        .groupBy("cwk", (F.col("wk") - F.col("cwk")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        cells.join(sizes, "cwk")
+        .select(
+            F.col("cwk").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+        )
+    )
+
+
+_ORACLE_RETENTION = """
+WITH act AS (SELECT DISTINCT user_id,
+                    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS wk
+             FROM events),
+cohort AS (SELECT user_id, min(wk) AS cwk FROM act GROUP BY user_id),
+sizes AS (SELECT cwk, count(*) AS cohort_size FROM cohort GROUP BY cwk),
+cells AS (
+  SELECT c.cwk, a.wk - c.cwk AS day_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cells.cwk AS cohort_day, day_offset, n_active,
+       round(n_active / CAST(cohort_size AS DOUBLE), 4) AS retention
+FROM cells JOIN sizes ON cells.cwk = sizes.cwk
+"""
+
+
+EXTRA_QUERIES["retention_cohorts"] = q_retention_cohorts
+EXTRA_ORACLES["retention_cohorts"] = _ORACLE_RETENTION
+
+
+# --- PSI drift detection ----------------------------------------------------
+# Population Stability Index between the first and second half of the
+# event stream (by time) per event type — the distribution-drift
+# monitor a production pipeline runs continuously: psi =
+# sum_i (q_i - p_i) * ln(q_i / p_i) over shared histogram buckets,
+# where p/q are the reference/current bucket shares. Buckets are
+# equi-width over the GLOBAL value range (both populations must share
+# edges or PSI is meaningless) and shares are add-one smoothed so empty
+# buckets stay finite and deterministic. One bounds aggregate, one
+# groupBy((type, bucket)) with conditional sums, one per-type rollup.
+PSI_BUCKETS = 10
+PSI_ALERT = 0.2   # the conventional "significant drift" threshold
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_ref, n_cur, psi, drifted): value-distribution PSI
+    between the chronological halves of each type's events."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_timestamp("ts").alias("es")
+    )
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        ((F.min("es") + F.max("es")) / 2).alias("mid"),
+    )
+    b = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo") + F.lit(1e-9)) / PSI_BUCKETS)
+            ).cast("int"),
+            F.lit(PSI_BUCKETS - 1),
+        ).alias("bucket"),
+        (F.col("es") < F.col("mid")).cast("long").alias("is_ref"),
+    )
+    cells = b.groupBy("event_type", "bucket").agg(
+        F.sum("is_ref").alias("cr"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("cc"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("cr").alias("nr"), F.sum("cc").alias("nc")
+    )
+    p = (F.col("cr") + 1) / (F.col("nr") + F.lit(PSI_BUCKETS))
+    q = (F.col("cc") + 1) / (F.col("nc") + F.lit(PSI_BUCKETS))
+    return (
+        cells.join(totals, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("nr").alias("n_ref"),
+            F.max("nc").alias("n_cur"),
+            F.round(F.sum((q - p) * F.log(q / p)), 6).alias("psi"),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "psi",
+            (F.col("psi") > PSI_ALERT).alias("drifted"),
+        )
+    )
+
+
+_ORACLE_PSI = f"""
+WITH ev AS (SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
+            FROM events),
+bounds AS (SELECT min(value) AS lo, max(value) AS hi,
+                  (min(es) + max(es)) / 2.0 AS mid FROM ev),
+b AS (
+  SELECT event_type,
+         least(CAST(floor((value - lo) / ((hi - lo + 1e-9) / {PSI_BUCKETS})) AS INT),
+               {PSI_BUCKETS - 1}) AS bucket,
+         CASE WHEN es < mid THEN 1 ELSE 0 END AS is_ref
+  FROM ev CROSS JOIN bounds
+),
+cells AS (SELECT event_type, bucket, sum(is_ref) AS cr,
+                 sum(1 - is_ref) AS cc
+          FROM b GROUP BY 1, 2),
+totals AS (SELECT event_type, sum(cr) AS nr, sum(cc) AS nc
+           FROM cells GROUP BY 1)
+SELECT cells.event_type,
+       CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
+       round(sum(((cc + 1) / CAST(nc + {PSI_BUCKETS} AS DOUBLE)
+                  - (cr + 1) / CAST(nr + {PSI_BUCKETS} AS DOUBLE))
+                 * ln(((cc + 1) / CAST(nc + {PSI_BUCKETS} AS DOUBLE))
+                      / ((cr + 1) / CAST(nr + {PSI_BUCKETS} AS DOUBLE)))), 6) AS psi,
+       round(sum(((cc + 1) / CAST(nc + {PSI_BUCKETS} AS DOUBLE)
+                  - (cr + 1) / CAST(nr + {PSI_BUCKETS} AS DOUBLE))
+                 * ln(((cc + 1) / CAST(nc + {PSI_BUCKETS} AS DOUBLE))
+                      / ((cr + 1) / CAST(nr + {PSI_BUCKETS} AS DOUBLE)))), 6)
+         > {PSI_ALERT} AS drifted
+FROM cells JOIN totals ON cells.event_type = totals.event_type
+GROUP BY cells.event_type
+"""
+
+
+EXTRA_QUERIES["psi_drift"] = q_psi_drift
+EXTRA_ORACLES["psi_drift"] = _ORACLE_PSI

@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-30:] == [
+    assert names[-32:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -77,6 +77,8 @@ def test_registry_consistency():
         "quantile_sketch",
         "zorder_locality",
         "funnel_conversion",
+        "retention_cohorts",
+        "psi_drift",
     ]
 
 

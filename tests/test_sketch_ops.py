@@ -118,3 +118,39 @@ def test_hard_negatives_exclude_anchor_label(spark, sf001):
         assert [r for r, _ in rs] == list(range(1, similarity.HN_K + 1))
         coss = [c for _, c in rs]
         assert coss == sorted(coss, reverse=True)
+
+
+def test_retention_offset_zero_is_total(spark, sf001):
+    """Every cohort's day-0 cell must equal its own size (retention 1.0)
+    — the anchor the rest of the matrix is relative to."""
+    rows = relational.q_retention_cohorts(spark, sf001).collect()
+    assert rows
+    for r in rows:
+        if r["day_offset"] == 0:
+            assert r["retention"] == 1.0
+
+
+def test_psi_alarm_fires_on_planted_drift(spark, tmp_path):
+    """A value distribution shifted in the second half must push PSI
+    past the 0.2 alert threshold; the stationary type must not."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        ts = base + datetime.timedelta(minutes=i)
+        # 'drifty': values jump from ~[0,1) to ~[50,51) halfway through
+        v = float(i % 10) / 10 + (50.0 if i >= 200 else 0.0)
+        rows.append((i, ts, i % 7, "drifty", v, "{}"))
+        # 'steady': same distribution throughout
+        rows.append((1000 + i, ts, i % 7, "steady", float(i % 10), "{}"))
+    out = tmp_path / "sf"
+    out.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(out / "events.parquet"))
+    got = {r["event_type"]: r for r in relational.q_psi_drift(spark, str(out)).collect()}
+    assert got["drifty"]["drifted"] and got["drifty"]["psi"] > relational.PSI_ALERT
+    assert not got["steady"]["drifted"]
