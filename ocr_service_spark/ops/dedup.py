@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import load, md5_bucket, widen
+from . import load, md5_bucket, md5_bucket_sql, widen
 
 N_MINHASHES = 4
 CHAR_SHINGLE = 5
@@ -796,8 +796,7 @@ WITH m AS (SELECT {BLOOM_BITS_PER_KEY} * greatest(count(*), 1) AS mb
 js AS (SELECT unnest([{slices}]) AS j),
 bits AS (
   SELECT DISTINCT
-    CAST(concat('0x', substring(md5(concat(js.j, ':', text)), 1, 13))
-         AS BIGINT) % (SELECT mb FROM m) AS b
+    {md5_bucket_sql("concat(js.j, ':')", 'text', '(SELECT mb FROM m)')} AS b
   FROM documents CROSS JOIN js
 ),
 probes AS (SELECT doc_id, text FROM documents WHERE doc_id < {BLOOM_PROBE_N}),
@@ -808,8 +807,7 @@ panel AS (
 ),
 panel_pos AS (
   SELECT doc_id, arm,
-    CAST(concat('0x', substring(md5(concat(js.j, ':', key)), 1, 13))
-         AS BIGINT) % (SELECT mb FROM m) AS b
+    {md5_bucket_sql("concat(js.j, ':')", 'key', '(SELECT mb FROM m)')} AS b
   FROM panel CROSS JOIN js
 ),
 hits AS (

@@ -1080,35 +1080,39 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_FUNNEL = f"""
-WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
-s2 AS (SELECT e.user_id, min(e.ts) AS t
-       FROM events e JOIN s1 ON e.user_id = s1.user_id
-       WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t
-         AND e.ts <= s1.t + INTERVAL '{FUNNEL_HORIZON}'
-       GROUP BY e.user_id),
-s3 AS (SELECT e.user_id, min(e.ts) AS t
-       FROM events e JOIN s2 ON e.user_id = s2.user_id
-       WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t
-         AND e.ts <= s2.t + INTERVAL '{FUNNEL_HORIZON}'
-       GROUP BY e.user_id),
-f AS (
-  SELECT 1 AS depth, '{FUNNEL_STEPS[0]}' AS step, count(*) AS n_users FROM s1
-  UNION ALL
-  SELECT 2, '{FUNNEL_STEPS[1]}', count(*) FROM s2
-  UNION ALL
-  SELECT 3, '{FUNNEL_STEPS[2]}', count(*) FROM s3
-)
+def _funnel_sql() -> str:
+    """Oracle CTE chain generated from FUNNEL_STEPS (same arity as the
+    Spark loop — a steps change cannot silently desynchronize them)."""
+    parts = [
+        f"""s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)"""
+    ]
+    for i in range(2, len(FUNNEL_STEPS) + 1):
+        parts.append(
+            f"""s{i} AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[i - 1]}' AND e.ts > p.t
+         AND e.ts <= p.t + INTERVAL '{FUNNEL_HORIZON}'
+       GROUP BY e.user_id)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS depth, '{FUNNEL_STEPS[i - 1]}' AS step, "
+        f"count(*) AS n_users FROM s{i}"
+        for i in range(1, len(FUNNEL_STEPS) + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+f AS ({unions})
 SELECT depth, step, n_users,
        round(n_users / CAST((SELECT n_users FROM f WHERE depth = 1) AS DOUBLE), 4)
          AS conversion
 FROM f
 """
+    )
 
 
 EXTRA_QUERIES["funnel_conversion"] = q_funnel_conversion
-EXTRA_ORACLES["funnel_conversion"] = _ORACLE_FUNNEL
+EXTRA_ORACLES["funnel_conversion"] = _funnel_sql()
 
 
 # --- cohort retention -------------------------------------------------------
@@ -1133,7 +1137,10 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         activity.join(cohort, "user_id")
         .groupBy("cwk", (F.col("wk") - F.col("cwk")).alias("day_offset"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        # activity is already distinct on (user, day) and day is fixed
+        # within a cell, so a plain count (full map-side combine) equals
+        # the distinct count without the two-phase distinct expansion
+        .agg(F.count("*").alias("n_active"))
     )
     return (
         cells.join(sizes, "cwk")
@@ -1154,7 +1161,7 @@ cohort AS (SELECT user_id, min(wk) AS cwk FROM act GROUP BY user_id),
 sizes AS (SELECT cwk, count(*) AS cohort_size FROM cohort GROUP BY cwk),
 cells AS (
   SELECT c.cwk, a.wk - c.cwk AS day_offset,
-         count(DISTINCT a.user_id) AS n_active
+         count(*) AS n_active
   FROM act a JOIN cohort c USING (user_id)
   GROUP BY 1, 2
 )
@@ -1184,15 +1191,23 @@ PSI_ALERT = 0.2   # the conventional "significant drift" threshold
 
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, n_ref, n_cur, psi, drifted): value-distribution PSI
-    between the chronological halves of each type's events."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_type", "value", F.unix_timestamp("ts").alias("es")
+    between EACH TYPE'S OWN chronological halves (per-type time
+    midpoint — a type that only starts emitting late still splits its
+    own history in half instead of comparing against an empty
+    reference). Rows with NULL ts or value are excluded identically on
+    both engines. The smoothed sum runs over the FULL bucket grid
+    (types x PSI_BUCKETS, observed or not), so shares sum to 1 and
+    empty buckets contribute their add-one term."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", "value", F.unix_timestamp("ts").alias("es"))
     )
-    bounds = ev.agg(
-        F.min("value").alias("lo"), F.max("value").alias("hi"),
-        ((F.min("es") + F.max("es")) / 2).alias("mid"),
+    vb = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    mids = ev.groupBy("event_type").agg(
+        ((F.min("es") + F.max("es")) / 2).alias("mid")
     )
-    b = ev.crossJoin(F.broadcast(bounds)).select(
+    b = ev.join(mids, "event_type").crossJoin(F.broadcast(vb)).select(
         "event_type",
         F.least(
             F.floor(
@@ -1207,13 +1222,24 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_ref").alias("cr"),
         F.sum(F.lit(1) - F.col("is_ref")).alias("cc"),
     )
-    totals = cells.groupBy("event_type").agg(
+    grid = (
+        cells.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(PSI_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    full = (
+        grid.join(cells, ["event_type", "bucket"], "left")
+        .na.fill(0, ["cr", "cc"])
+    )
+    totals = full.groupBy("event_type").agg(
         F.sum("cr").alias("nr"), F.sum("cc").alias("nc")
     )
     p = (F.col("cr") + 1) / (F.col("nr") + F.lit(PSI_BUCKETS))
     q = (F.col("cc") + 1) / (F.col("nc") + F.lit(PSI_BUCKETS))
     return (
-        cells.join(totals, "event_type")
+        full.join(totals, "event_type")
         .groupBy("event_type")
         .agg(
             F.max("nr").alias("n_ref"),
@@ -1232,34 +1258,41 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_PSI = f"""
 WITH ev AS (SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
-            FROM events),
-bounds AS (SELECT min(value) AS lo, max(value) AS hi,
-                  (min(es) + max(es)) / 2.0 AS mid FROM ev),
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+vb AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+mids AS (SELECT event_type, (min(es) + max(es)) / 2.0 AS mid
+         FROM ev GROUP BY 1),
 b AS (
-  SELECT event_type,
+  SELECT ev.event_type,
          least(CAST(floor((value - lo) / ((hi - lo + 1e-9) / {PSI_BUCKETS})) AS INT),
                {PSI_BUCKETS - 1}) AS bucket,
          CASE WHEN es < mid THEN 1 ELSE 0 END AS is_ref
-  FROM ev CROSS JOIN bounds
+  FROM ev JOIN mids USING (event_type) CROSS JOIN vb
 ),
 cells AS (SELECT event_type, bucket, sum(is_ref) AS cr,
                  sum(1 - is_ref) AS cc
           FROM b GROUP BY 1, 2),
+grid AS (SELECT t.event_type, CAST(u.bk AS INT) AS bucket
+         FROM (SELECT DISTINCT event_type FROM cells) t,
+              unnest(range(0, {PSI_BUCKETS})) u(bk)),
+filled AS (SELECT g.event_type, g.bucket,
+                coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+         FROM grid g LEFT JOIN cells
+           ON g.event_type = cells.event_type AND g.bucket = cells.bucket),
 totals AS (SELECT event_type, sum(cr) AS nr, sum(cc) AS nc
-           FROM cells GROUP BY 1)
-SELECT cells.event_type,
-       CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
-       round(sum(((cc + 1) / CAST(nc + {PSI_BUCKETS} AS DOUBLE)
-                  - (cr + 1) / CAST(nr + {PSI_BUCKETS} AS DOUBLE))
-                 * ln(((cc + 1) / CAST(nc + {PSI_BUCKETS} AS DOUBLE))
-                      / ((cr + 1) / CAST(nr + {PSI_BUCKETS} AS DOUBLE)))), 6) AS psi,
-       round(sum(((cc + 1) / CAST(nc + {PSI_BUCKETS} AS DOUBLE)
-                  - (cr + 1) / CAST(nr + {PSI_BUCKETS} AS DOUBLE))
-                 * ln(((cc + 1) / CAST(nc + {PSI_BUCKETS} AS DOUBLE))
-                      / ((cr + 1) / CAST(nr + {PSI_BUCKETS} AS DOUBLE)))), 6)
-         > {PSI_ALERT} AS drifted
-FROM cells JOIN totals ON cells.event_type = totals.event_type
-GROUP BY cells.event_type
+           FROM filled GROUP BY 1),
+scored AS (
+  SELECT filled.event_type,
+         CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
+         round(sum(((cc + 1) / CAST(nc + {PSI_BUCKETS} AS DOUBLE)
+                    - (cr + 1) / CAST(nr + {PSI_BUCKETS} AS DOUBLE))
+                   * ln(((cc + 1) / CAST(nc + {PSI_BUCKETS} AS DOUBLE))
+                        / ((cr + 1) / CAST(nr + {PSI_BUCKETS} AS DOUBLE)))), 6) AS psi
+  FROM filled JOIN totals ON filled.event_type = totals.event_type
+  GROUP BY filled.event_type
+)
+SELECT event_type, n_ref, n_cur, psi, psi > {PSI_ALERT} AS drifted
+FROM scored
 """
 
 

@@ -558,7 +558,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_SS_JOIN = """
+_ORACLE_SS_JOIN = f"""
 SELECT c.user_id,
        count(*) AS n_attributed_pairs,
        count(DISTINCT p.event_id) AS n_attributed_purchases
@@ -566,7 +566,7 @@ FROM events c
 JOIN events p
   ON p.user_id = c.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
- AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '{ATTRIB_WINDOW}'
 GROUP BY c.user_id
 """
 

@@ -860,8 +860,7 @@ bg AS (SELECT doc_id, lang,
               unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b
        FROM toks WHERE len(l) >= 2),
 fe AS (SELECT doc_id, lang,
-              CAST(concat('0x', substring(md5(concat('dsir:', b)), 1, 13))
-                   AS BIGINT) % {DSIR_B} AS fb
+              {md5_bucket_sql("'dsir:'", 'b', DSIR_B)} AS fb
        FROM bg),
 docfeat AS (SELECT doc_id, lang, fb, count(*) AS c FROM fe GROUP BY 1, 2, 3),
 model AS (SELECT fb, sum(c) AS cr,
