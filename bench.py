@@ -76,6 +76,7 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "psi_drift",
+    "ab_test",
     "sequence_packing",
     "source_mixture_weights",
     # leakage_safe_split is excluded like neardup_components: both are

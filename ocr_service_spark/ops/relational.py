@@ -1298,3 +1298,106 @@ FROM scored
 
 EXTRA_QUERIES["psi_drift"] = q_psi_drift
 EXTRA_ORACLES["psi_drift"] = _ORACLE_PSI
+
+
+# --- A/B experiment analysis ------------------------------------------------
+# Experimentation analytics: deterministic variant assignment
+# (user_id % 2), activation metric = "purchased within AB_HORIZON of
+# the user's first event", and the two-proportion z-test between the
+# arms. All aggregates are per-user rollups with map-side combine; the
+# final statistic folds out of one two-row frame.
+AB_HORIZON = "1 day"
+AB_Z_CRIT = 1.96  # two-sided 5%
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_a, n_b, conv_a, conv_b, z, significant). The z
+    denominator guards the degenerate all-convert/none-convert case
+    (pooled p in {0,1}) identically on both engines."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    converted = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t0"))
+            & (F.col("ts") <= F.col("t0") + F.expr(f"interval {AB_HORIZON}"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    users = first.join(converted, "user_id", "left").select(
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        F.coalesce("conv", F.lit(0)).alias("conv"),
+    )
+    arms = users.groupBy("is_a").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("x")
+    )
+    a = arms.filter("is_a").select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = arms.filter(~F.col("is_a")).select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    )
+    pa = F.col("x_a") / F.col("n_a")
+    pb = F.col("x_b") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    var = pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    z = F.when(var > 0, F.round((pa - pb) / F.sqrt(var), 6)).otherwise(
+        F.lit(0.0)
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round(pa, 4).alias("conv_a"),
+        F.round(pb, 4).alias("conv_b"),
+        z.alias("z"),
+        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+    )
+
+
+_ORACLE_AB = f"""
+WITH first AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN first USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t0
+    AND e.ts <= t0 + INTERVAL '{AB_HORIZON}'
+),
+users AS (
+  SELECT (first.user_id % 2 = 0) AS is_a,
+         CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS c
+  FROM first LEFT JOIN conv ON first.user_id = conv.user_id
+),
+arms AS (SELECT is_a, count(*) AS n, sum(c) AS x FROM users GROUP BY 1),
+wide AS (
+  SELECT
+    (SELECT n FROM arms WHERE is_a) AS n_a,
+    (SELECT x FROM arms WHERE is_a) AS x_a,
+    (SELECT n FROM arms WHERE NOT is_a) AS n_b,
+    (SELECT x FROM arms WHERE NOT is_a) AS x_b
+),
+stat AS (
+  SELECT n_a, n_b,
+         x_a / CAST(n_a AS DOUBLE) AS pa, x_b / CAST(n_b AS DOUBLE) AS pb,
+         (x_a + x_b) / CAST(n_a + n_b AS DOUBLE) AS pool
+  FROM wide
+),
+zt AS (
+  SELECT n_a, n_b, pa, pb,
+         CASE WHEN pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b) > 0
+              THEN round((pa - pb)
+                   / sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b)), 6)
+              ELSE 0.0 END AS z
+  FROM stat
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(pa, 4) AS conv_a, round(pb, 4) AS conv_b, z,
+       abs(z) > {AB_Z_CRIT} AS significant
+FROM zt
+"""
+
+
+EXTRA_QUERIES["ab_test"] = q_ab_test
+EXTRA_ORACLES["ab_test"] = _ORACLE_AB

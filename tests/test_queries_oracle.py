@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-32:] == [
+    assert names[-33:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -79,6 +79,7 @@ def test_registry_consistency():
         "funnel_conversion",
         "retention_cohorts",
         "psi_drift",
+        "ab_test",
     ]
 
 

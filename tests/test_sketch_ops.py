@@ -154,3 +154,31 @@ def test_psi_alarm_fires_on_planted_drift(spark, tmp_path):
     got = {r["event_type"]: r for r in relational.q_psi_drift(spark, str(out)).collect()}
     assert got["drifty"]["drifted"] and got["drifty"]["psi"] > relational.PSI_ALERT
     assert not got["steady"]["drifted"]
+
+
+def test_ab_test_detects_planted_effect(spark, tmp_path):
+    """A strong planted treatment effect (arm A converts, arm B never
+    does) must produce a significant z; the balanced synthetic stream
+    must not (pinned by the oracle run at sf0.01: z = -0.82)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(100):
+        rows.append((eid, base, u, "click", 1.0, "{}")); eid += 1
+        # even users (arm A) purchase an hour later; odd users never do
+        if u % 2 == 0:
+            rows.append(
+                (eid, base + datetime.timedelta(hours=1), u, "purchase", 1.0, "{}")
+            ); eid += 1
+    out = tmp_path / "sf"
+    out.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(out / "events.parquet"))
+    r = relational.q_ab_test(spark, str(out)).collect()[0]
+    assert r["conv_a"] == 1.0 and r["conv_b"] == 0.0
+    assert r["significant"] and r["z"] > relational.AB_Z_CRIT
