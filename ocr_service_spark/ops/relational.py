@@ -1176,15 +1176,17 @@ EXTRA_ORACLES["retention_cohorts"] = _ORACLE_RETENTION
 
 
 # --- PSI drift detection ----------------------------------------------------
-# Population Stability Index between the first and second half of the
-# event stream (by time) per event type — the distribution-drift
+# Population Stability Index per event type — the distribution-drift
 # monitor a production pipeline runs continuously: psi =
 # sum_i (q_i - p_i) * ln(q_i / p_i) over shared histogram buckets,
-# where p/q are the reference/current bucket shares. Buckets are
-# equi-width over the GLOBAL value range (both populations must share
-# edges or PSI is meaningless) and shares are add-one smoothed so empty
-# buckets stay finite and deterministic. One bounds aggregate, one
-# groupBy((type, bucket)) with conditional sums, one per-type rollup.
+# where p/q are the reference/current bucket shares. Bucket edges are
+# equi-width over the GLOBAL value range (populations must share edges
+# or PSI is meaningless); the ref/cur split is each type's OWN time
+# midpoint; shares are add-one smoothed over the FULL types x buckets
+# grid (left-join fill) so they sum to 1 and empty buckets contribute.
+# Shapes: a value-bounds aggregate + a per-type midpoint aggregate, one
+# groupBy((type, bucket)) with conditional sums, the grid fill over
+# statistics-sized frames, one per-type rollup.
 PSI_BUCKETS = 10
 PSI_ALERT = 0.2   # the conventional "significant drift" threshold
 
@@ -1305,15 +1307,18 @@ EXTRA_ORACLES["psi_drift"] = _ORACLE_PSI
 # (user_id % 2), activation metric = "purchased within AB_HORIZON of
 # the user's first event", and the two-proportion z-test between the
 # arms. All aggregates are per-user rollups with map-side combine; the
-# final statistic folds out of one two-row frame.
+# final statistic folds out of ONE no-group aggregate, so the query
+# always returns exactly one row — even when an arm (or the whole
+# table) is empty, matching the oracle's scalar-subquery shape.
 AB_HORIZON = "1 day"
 AB_Z_CRIT = 1.96  # two-sided 5%
 
 
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: (n_a, n_b, conv_a, conv_b, z, significant). The z
-    denominator guards the degenerate all-convert/none-convert case
-    (pooled p in {0,1}) identically on both engines."""
+    """One row: (n_a, n_b, conv_a, conv_b, z, significant). Empty-arm
+    and degenerate-pool cases are guarded identically on both engines:
+    a missing arm reports NULL conversion and z = 0.0 instead of
+    dropping the row or dividing by zero."""
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
     converted = (
@@ -1331,23 +1336,25 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2 == 0).alias("is_a"),
         F.coalesce("conv", F.lit(0)).alias("conv"),
     )
-    arms = users.groupBy("is_a").agg(
-        F.count("*").alias("n"), F.sum("conv").alias("x")
+    stats = users.agg(
+        F.coalesce(F.sum(F.col("is_a").cast("long")), F.lit(0)).alias("n_a"),
+        F.coalesce(F.sum((~F.col("is_a")).cast("long")), F.lit(0)).alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_a"), F.col("conv")).otherwise(0)), F.lit(0)
+        ).alias("x_a"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_a"), F.col("conv")).otherwise(0)), F.lit(0)
+        ).alias("x_b"),
     )
-    a = arms.filter("is_a").select(
-        F.col("n").alias("n_a"), F.col("x").alias("x_a")
-    )
-    b = arms.filter(~F.col("is_a")).select(
-        F.col("n").alias("n_b"), F.col("x").alias("x_b")
-    )
-    pa = F.col("x_a") / F.col("n_a")
-    pb = F.col("x_b") / F.col("n_b")
+    pa = F.when(F.col("n_a") > 0, F.col("x_a") / F.col("n_a"))
+    pb = F.when(F.col("n_b") > 0, F.col("x_b") / F.col("n_b"))
     pool = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
     var = pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
-    z = F.when(var > 0, F.round((pa - pb) / F.sqrt(var), 6)).otherwise(
-        F.lit(0.0)
-    )
-    return a.crossJoin(b).select(
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+        F.round((pa - pb) / F.sqrt(var), 6),
+    ).otherwise(F.lit(0.0))
+    return stats.select(
         "n_a",
         "n_b",
         F.round(pa, 4).alias("conv_a"),
@@ -1370,27 +1377,28 @@ users AS (
          CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS c
   FROM first LEFT JOIN conv ON first.user_id = conv.user_id
 ),
-arms AS (SELECT is_a, count(*) AS n, sum(c) AS x FROM users GROUP BY 1),
-wide AS (
-  SELECT
-    (SELECT n FROM arms WHERE is_a) AS n_a,
-    (SELECT x FROM arms WHERE is_a) AS x_a,
-    (SELECT n FROM arms WHERE NOT is_a) AS n_b,
-    (SELECT x FROM arms WHERE NOT is_a) AS x_b
+stats AS (
+  SELECT coalesce(sum(CASE WHEN is_a THEN 1 ELSE 0 END), 0) AS n_a,
+         coalesce(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END), 0) AS n_b,
+         coalesce(sum(CASE WHEN is_a THEN c ELSE 0 END), 0) AS x_a,
+         coalesce(sum(CASE WHEN NOT is_a THEN c ELSE 0 END), 0) AS x_b
+  FROM users
 ),
-stat AS (
+scored AS (
   SELECT n_a, n_b,
-         x_a / CAST(n_a AS DOUBLE) AS pa, x_b / CAST(n_b AS DOUBLE) AS pb,
+         CASE WHEN n_a > 0 THEN x_a / CAST(n_a AS DOUBLE) END AS pa,
+         CASE WHEN n_b > 0 THEN x_b / CAST(n_b AS DOUBLE) END AS pb,
          (x_a + x_b) / CAST(n_a + n_b AS DOUBLE) AS pool
-  FROM wide
+  FROM stats
 ),
 zt AS (
   SELECT n_a, n_b, pa, pb,
-         CASE WHEN pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b) > 0
+         CASE WHEN n_a > 0 AND n_b > 0
+               AND pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b) > 0
               THEN round((pa - pb)
                    / sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b)), 6)
               ELSE 0.0 END AS z
-  FROM stat
+  FROM scored
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        round(pa, 4) AS conv_a, round(pb, 4) AS conv_b, z,
