@@ -189,3 +189,32 @@ def test_ab_test_detects_planted_effect(spark, tmp_path):
     r = relational.q_ab_test(spark, str(out)).collect()[0]
     assert r["conv_a"] == 1.0 and r["conv_b"] == 0.0
     assert r["significant"] and r["z"] > relational.AB_Z_CRIT
+
+
+def test_funnel_horizon_boundary_inclusive(spark, tmp_path):
+    """A step landing exactly AT the horizon converts; one microsecond
+    past it does not — pins the <= boundary both twins implement."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    us = datetime.timedelta(microseconds=1)
+    rows = [
+        # user 1: view exactly at +1 day -> counts; purchase exactly at
+        # +1 day after the view -> counts (full depth 3)
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + day, 1, "view", 1.0, "{}"),
+        (3, base + day + day, 1, "purchase", 1.0, "{}"),
+        # user 2: view one microsecond past the horizon -> depth stops at 1
+        (4, base, 2, "click", 1.0, "{}"),
+        (5, base + day + us, 2, "view", 1.0, "{}"),
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(out / "events.parquet"))
+    got = {r["depth"]: r["n_users"] for r in relational.q_funnel_conversion(spark, str(out)).collect()}
+    assert got == {1: 2, 2: 1, 3: 1}
