@@ -77,6 +77,8 @@ HEADLINE = [
     "retention_cohorts",
     "psi_drift",
     "ab_test",
+    "dq_checks",
+    "volume_anomalies",
     "sequence_packing",
     "source_mixture_weights",
     # leakage_safe_split is excluded like neardup_components: both are

@@ -1409,3 +1409,173 @@ FROM zt
 
 EXTRA_QUERIES["ab_test"] = q_ab_test
 EXTRA_ORACLES["ab_test"] = _ORACLE_AB
+
+
+# --- data-quality checks ----------------------------------------------------
+# Deequ-style declarative data contracts (Schelter et al., VLDB 2018):
+# completeness, uniqueness, range conformance, and set membership
+# verified in ONE pass over the table — every metric is an aggregate
+# with map-side combine, so the whole contract costs one scan + one
+# scalar rollup at any scale (uniqueness adds the one distinct).
+DQ_VALUE_MAX = 1000.0
+DQ_ALLOWED_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(check, observed, threshold, passes): the events-table contract.
+    Metrics are fractions in [0,1] rounded to 6; a check passes when
+    the observed fraction meets its threshold."""
+    ev = load(spark, sf_dir, "events")
+    n = F.count("*")
+    stats = ev.agg(
+        n.alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum(F.col("ts").isNotNull().cast("long")).alias("ts_ok"),
+        F.sum(F.col("user_id").isNotNull().cast("long")).alias("uid_ok"),
+        F.sum(
+            (
+                F.col("value").isNotNull()
+                & (F.col("value") >= 0)
+                & (F.col("value") <= DQ_VALUE_MAX)
+            ).cast("long")
+        ).alias("val_ok"),
+        F.sum(F.col("event_type").isin(*DQ_ALLOWED_TYPES).cast("long")).alias(
+            "type_ok"
+        ),
+    )
+    checks = [
+        ("event_id_unique", F.col("n_ids") / F.col("n"), 1.0),
+        ("ts_complete", F.col("ts_ok") / F.col("n"), 1.0),
+        ("user_id_complete", F.col("uid_ok") / F.col("n"), 1.0),
+        ("value_in_range", F.col("val_ok") / F.col("n"), 0.99),
+        ("event_type_allowed", F.col("type_ok") / F.col("n"), 1.0),
+    ]
+    rows = stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        F.round(expr, 6).alias("observed"),
+                        F.lit(thr).alias("threshold"),
+                    )
+                    for name, expr, thr in checks
+                ]
+            )
+        ).alias("s")
+    ).select("s.check", "s.observed", "s.threshold")
+    return rows.withColumn(
+        "passes", F.col("observed") >= F.col("threshold")
+    )
+
+
+_ORACLE_DQ = f"""
+WITH stats AS (
+  SELECT count(*) AS n,
+         count(DISTINCT event_id) AS n_ids,
+         sum(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS ts_ok,
+         sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS uid_ok,
+         sum(CASE WHEN value IS NOT NULL AND value >= 0
+                   AND value <= {DQ_VALUE_MAX} THEN 1 ELSE 0 END) AS val_ok,
+         sum(CASE WHEN event_type IN {str(DQ_ALLOWED_TYPES)} THEN 1 ELSE 0 END)
+           AS type_ok
+  FROM events
+),
+checks AS (
+  SELECT 'event_id_unique' AS check, round(n_ids / CAST(n AS DOUBLE), 6) AS observed, 1.0 AS threshold FROM stats
+  UNION ALL
+  SELECT 'ts_complete', round(ts_ok / CAST(n AS DOUBLE), 6), 1.0 FROM stats
+  UNION ALL
+  SELECT 'user_id_complete', round(uid_ok / CAST(n AS DOUBLE), 6), 1.0 FROM stats
+  UNION ALL
+  SELECT 'value_in_range', round(val_ok / CAST(n AS DOUBLE), 6), 0.99 FROM stats
+  UNION ALL
+  SELECT 'event_type_allowed', round(type_ok / CAST(n AS DOUBLE), 6), 1.0 FROM stats
+)
+SELECT "check", observed, threshold, observed >= threshold AS passes
+FROM checks
+"""
+
+
+EXTRA_QUERIES["dq_checks"] = q_dq_checks
+EXTRA_ORACLES["dq_checks"] = _ORACLE_DQ
+
+
+# --- robust anomaly detection -----------------------------------------------
+# Daily-volume anomaly monitoring with the Iglewicz-Hoaglin modified
+# z-score: |0.6745 * (count - median) / MAD| > 3.5 flags a day whose
+# event volume breaks from the type's typical level, robust to the
+# outliers themselves (unlike mean/stddev z-scores, which an anomaly
+# inflates). The daily-count frame is tiny (types x days), so the two
+# median passes cost nothing after the one corpus aggregation.
+MAD_Z_CRIT = 3.5
+
+
+def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, median_daily, mad, n_anomalous): per-type
+    daily-count distribution summary plus how many days break the
+    modified-z threshold. MAD = 0 (perfectly constant volume) flags
+    nothing by definition, identically on both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.unix_timestamp("ts") / 86400).alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("c"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("med")
+    )
+    dev = daily.join(med, "event_type").select(
+        "event_type", "c", "med", F.abs(F.col("c") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    scored = dev.join(mad, "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        F.when(
+            F.col("mad") > 0,
+            F.abs(0.6745 * (F.col("c") - F.col("med")) / F.col("mad"))
+            > MAD_Z_CRIT,
+        )
+        .otherwise(F.lit(False))
+        .cast("long")
+        .alias("anom"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.max("med"), 6).alias("median_daily"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.sum("anom").alias("n_anomalous"),
+    )
+
+
+_ORACLE_ANOM = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+med AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+        FROM daily GROUP BY 1),
+dev AS (SELECT daily.event_type, c, med, abs(c - med) AS ad
+        FROM daily JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY 1),
+scored AS (
+  SELECT dev.event_type, dev.med, mad.mad,
+         CASE WHEN mad.mad > 0
+               AND abs(0.6745 * (c - dev.med) / mad.mad) > {MAD_Z_CRIT}
+              THEN 1 ELSE 0 END AS anom
+  FROM dev JOIN mad ON dev.event_type = mad.event_type
+)
+SELECT event_type, count(*) AS n_days,
+       round(max(med), 6) AS median_daily, round(max(mad), 6) AS mad,
+       CAST(sum(anom) AS BIGINT) AS n_anomalous
+FROM scored GROUP BY event_type
+"""
+
+
+EXTRA_QUERIES["volume_anomalies"] = q_volume_anomalies
+EXTRA_ORACLES["volume_anomalies"] = _ORACLE_ANOM

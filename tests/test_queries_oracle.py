@@ -46,7 +46,7 @@ def test_registry_consistency():
     names = list(qs)
     assert names[0] == "extract_pipeline"
     assert names[1] == "structured_receipts"
-    assert names[-33:] == [
+    assert names[-35:] == [
         "ann_lsh_buckets",
         "ann_ivf_cells",
         "pii_scrub_stats",
@@ -80,6 +80,8 @@ def test_registry_consistency():
         "retention_cohorts",
         "psi_drift",
         "ab_test",
+        "dq_checks",
+        "volume_anomalies",
     ]
 
 

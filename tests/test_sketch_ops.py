@@ -218,3 +218,36 @@ def test_funnel_horizon_boundary_inclusive(spark, tmp_path):
     ).coalesce(1).write.parquet(str(out / "events.parquet"))
     got = {r["depth"]: r["n_users"] for r in relational.q_funnel_conversion(spark, str(out)).collect()}
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_volume_anomaly_flags_planted_burst(spark, tmp_path):
+    """30 steady days plus one 10x burst day: the burst day (and only
+    it) must break the modified-z threshold, and a perfectly constant
+    type must flag nothing (MAD = 0 guard)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(30):
+        # small deterministic jitter keeps MAD > 0 (a constant series
+        # has MAD = 0 and by definition flags nothing)
+        n = (95 + (d * 7) % 11) if d != 15 else 1000  # burst on day 15
+        for i in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, seconds=i), 1, "bursty", 1.0, "{}")
+            ); eid += 1
+        for i in range(50):  # perfectly constant arm
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, seconds=i), 2, "flat", 1.0, "{}")
+            ); eid += 1
+    out = tmp_path / "sf"
+    out.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(out / "events.parquet"))
+    got = {r["event_type"]: r for r in relational.q_volume_anomalies(spark, str(out)).collect()}
+    assert got["bursty"]["n_anomalous"] == 1
+    assert got["flat"]["n_anomalous"] == 0 and got["flat"]["mad"] == 0.0
