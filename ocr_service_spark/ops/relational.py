@@ -1418,7 +1418,7 @@ EXTRA_ORACLES["ab_test"] = _ORACLE_AB
 # with map-side combine, so the whole contract costs one scan + one
 # scalar rollup at any scale (uniqueness adds the one distinct).
 DQ_VALUE_MAX = 1000.0
-DQ_ALLOWED_TYPES = ("click", "view", "purchase", "signup", "error")
+DQ_ALLOWED_TYPES = _EVENT_TYPES  # one vocabulary, shared with the pivot
 
 
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,7 +1450,10 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("value_in_range", F.col("val_ok") / F.col("n"), 0.99),
         ("event_type_allowed", F.col("type_ok") / F.col("n"), 1.0),
     ]
-    rows = stats.select(
+    # pass/fail compares the UNROUNDED fraction — rounding first would
+    # let an exactness contract (threshold 1.0) absorb up to ~5e-7 of
+    # violating rows at scale; rounding is display-only
+    return stats.select(
         F.explode(
             F.array(
                 *[
@@ -1458,15 +1461,13 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(name).alias("check"),
                         F.round(expr, 6).alias("observed"),
                         F.lit(thr).alias("threshold"),
+                        (expr >= thr).alias("passes"),
                     )
                     for name, expr, thr in checks
                 ]
             )
         ).alias("s")
-    ).select("s.check", "s.observed", "s.threshold")
-    return rows.withColumn(
-        "passes", F.col("observed") >= F.col("threshold")
-    )
+    ).select("s.check", "s.observed", "s.threshold", "s.passes")
 
 
 _ORACLE_DQ = f"""
@@ -1477,22 +1478,22 @@ WITH stats AS (
          sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS uid_ok,
          sum(CASE WHEN value IS NOT NULL AND value >= 0
                    AND value <= {DQ_VALUE_MAX} THEN 1 ELSE 0 END) AS val_ok,
-         sum(CASE WHEN event_type IN {str(DQ_ALLOWED_TYPES)} THEN 1 ELSE 0 END)
+         sum(CASE WHEN event_type IN {"(" + ", ".join(f"'{x}'" for x in DQ_ALLOWED_TYPES) + ")"} THEN 1 ELSE 0 END)
            AS type_ok
   FROM events
 ),
 checks AS (
-  SELECT 'event_id_unique' AS check, round(n_ids / CAST(n AS DOUBLE), 6) AS observed, 1.0 AS threshold FROM stats
+  SELECT 'event_id_unique' AS check, n_ids / CAST(n AS DOUBLE) AS raw, 1.0 AS threshold FROM stats
   UNION ALL
-  SELECT 'ts_complete', round(ts_ok / CAST(n AS DOUBLE), 6), 1.0 FROM stats
+  SELECT 'ts_complete', ts_ok / CAST(n AS DOUBLE), 1.0 FROM stats
   UNION ALL
-  SELECT 'user_id_complete', round(uid_ok / CAST(n AS DOUBLE), 6), 1.0 FROM stats
+  SELECT 'user_id_complete', uid_ok / CAST(n AS DOUBLE), 1.0 FROM stats
   UNION ALL
-  SELECT 'value_in_range', round(val_ok / CAST(n AS DOUBLE), 6), 0.99 FROM stats
+  SELECT 'value_in_range', val_ok / CAST(n AS DOUBLE), 0.99 FROM stats
   UNION ALL
-  SELECT 'event_type_allowed', round(type_ok / CAST(n AS DOUBLE), 6), 1.0 FROM stats
+  SELECT 'event_type_allowed', type_ok / CAST(n AS DOUBLE), 1.0 FROM stats
 )
-SELECT "check", observed, threshold, observed >= threshold AS passes
+SELECT "check", round(raw, 6) AS observed, threshold, raw >= threshold AS passes
 FROM checks
 """
 
