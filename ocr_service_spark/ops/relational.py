@@ -1115,6 +1115,16 @@ EXTRA_QUERIES["funnel_conversion"] = q_funnel_conversion
 EXTRA_ORACLES["funnel_conversion"] = _funnel_sql()
 
 
+def epoch_day(col):
+    """Absolute epoch-day index — THE cross-engine day-bucketing twin
+    (with EPOCH_DAY_SQL): floor(unix seconds / 86400), no calendar or
+    timezone arithmetic on either engine."""
+    return F.floor(F.unix_timestamp(col) / 86400)
+
+
+EPOCH_DAY_SQL = "CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)"
+
+
 # --- cohort retention -------------------------------------------------------
 # The retention matrix (product-analytics companion to the funnel):
 # users cohorted by the day of their first event, each cell = the
@@ -1129,7 +1139,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     users per cohort x days-since-first-day, with retention relative
     to the cohort's own size (offset 0 row = 1.0 by construction)."""
     ev = load(spark, sf_dir, "events").select(
-        "user_id", F.floor(F.unix_timestamp("ts") / 86400).alias("wk")
+        "user_id", epoch_day("ts").alias("wk")
     )
     activity = ev.distinct()
     cohort = activity.groupBy("user_id").agg(F.min("wk").alias("cwk"))
@@ -1153,9 +1163,9 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_RETENTION = """
+_ORACLE_RETENTION = f"""
 WITH act AS (SELECT DISTINCT user_id,
-                    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS wk
+                    {EPOCH_DAY_SQL} AS wk
              FROM events),
 cohort AS (SELECT user_id, min(wk) AS cwk FROM act GROUP BY user_id),
 sizes AS (SELECT cwk, count(*) AS cohort_size FROM cohort GROUP BY cwk),
@@ -1461,7 +1471,9 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(name).alias("check"),
                         F.round(expr, 6).alias("observed"),
                         F.lit(thr).alias("threshold"),
-                        (expr >= thr).alias("passes"),
+                        # empty table -> fractions are NULL; a
+                        # contract over no data FAILS explicitly
+                        F.coalesce(expr >= thr, F.lit(False)).alias("passes"),
                     )
                     for name, expr, thr in checks
                 ]
@@ -1493,7 +1505,8 @@ checks AS (
   UNION ALL
   SELECT 'event_type_allowed', type_ok / CAST(n AS DOUBLE), 1.0 FROM stats
 )
-SELECT "check", round(raw, 6) AS observed, threshold, raw >= threshold AS passes
+SELECT "check", round(raw, 6) AS observed, threshold,
+       coalesce(raw >= threshold, false) AS passes
 FROM checks
 """
 
@@ -1510,6 +1523,7 @@ EXTRA_ORACLES["dq_checks"] = _ORACLE_DQ
 # inflates). The daily-count frame is tiny (types x days), so the two
 # median passes cost nothing after the one corpus aggregation.
 MAD_Z_CRIT = 3.5
+MAD_CONST = 0.6745  # Iglewicz-Hoaglin normal-consistency factor
 
 
 def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1518,7 +1532,7 @@ def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     modified-z threshold. MAD = 0 (perfectly constant volume) flags
     nothing by definition, identically on both engines."""
     ev = load(spark, sf_dir, "events").select(
-        "event_type", F.floor(F.unix_timestamp("ts") / 86400).alias("day")
+        "event_type", epoch_day("ts").alias("day")
     )
     daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("c"))
     med = daily.groupBy("event_type").agg(
@@ -1536,7 +1550,7 @@ def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         F.when(
             F.col("mad") > 0,
-            F.abs(0.6745 * (F.col("c") - F.col("med")) / F.col("mad"))
+            F.abs(MAD_CONST * (F.col("c") - F.col("med")) / F.col("mad"))
             > MAD_Z_CRIT,
         )
         .otherwise(F.lit(False))
@@ -1554,7 +1568,7 @@ def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_ANOM = f"""
 WITH daily AS (
   SELECT event_type,
-         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+         {EPOCH_DAY_SQL} AS day,
          count(*) AS c
   FROM events GROUP BY 1, 2
 ),
@@ -1567,7 +1581,7 @@ mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
 scored AS (
   SELECT dev.event_type, dev.med, mad.mad,
          CASE WHEN mad.mad > 0
-               AND abs(0.6745 * (c - dev.med) / mad.mad) > {MAD_Z_CRIT}
+               AND abs({MAD_CONST} * (c - dev.med) / mad.mad) > {MAD_Z_CRIT}
               THEN 1 ELSE 0 END AS anom
   FROM dev JOIN mad ON dev.event_type = mad.event_type
 )

@@ -251,3 +251,38 @@ def test_volume_anomaly_flags_planted_burst(spark, tmp_path):
     got = {r["event_type"]: r for r in relational.q_volume_anomalies(spark, str(out)).collect()}
     assert got["bursty"]["n_anomalous"] == 1
     assert got["flat"]["n_anomalous"] == 0 and got["flat"]["mad"] == 0.0
+
+
+def test_dq_checks_fail_on_planted_violations(spark, tmp_path):
+    """Planted contract violations — a duplicate event_id, a NULL ts, a
+    NULL user_id, an out-of-range value, a foreign event type — must
+    each fail their check with a fractional observed value; clean
+    dimensions keep passing."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), i % 5, "click", 10.0, "{}")
+        for i in range(96)
+    ]
+    rows += [
+        (0, base, 1, "click", 10.0, "{}"),                      # dup event_id
+        (200, None, 1, "click", 10.0, "{}"),                    # null ts
+        (201, base, None, "click", 10.0, "{}"),                 # null user_id
+        (202, base, 1, "click", 99999.0, "{}"),                 # out of range
+        (203, base, 1, "mystery", 10.0, "{}"),                  # foreign type
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(out / "events.parquet"))
+    got = {r["check"]: r for r in relational.q_dq_checks(spark, str(out)).collect()}
+    for name in ("event_id_unique", "ts_complete", "user_id_complete",
+                 "event_type_allowed"):
+        assert not got[name]["passes"], name
+        assert 0 < got[name]["observed"] < 1
+    # 1 bad value in 101 rows = 99.0099% in range — above the 0.99 bar
+    assert got["value_in_range"]["passes"]
