@@ -163,12 +163,24 @@ def _make_media_blob(
 
     yi = np.clip((np.arange(16) * h) // 16, 0, h - 1)
     xi = np.clip((np.arange(16) * w) // 16, 0, w - 1)
+    # difference hash (dHash): 8x9 nearest-index subsample, bit = right
+    # pixel strictly brighter than its left neighbor, packed row-major
+    # to 16 hex chars — same rule as ops/multimodal.py:media_dhash,
+    # which must reproduce it through the codec roundtrip
+    y8 = np.clip((np.arange(8) * h) // 8, 0, h - 1)
+    x9 = np.clip((np.arange(9) * w) // 9, 0, w - 1)
+    g = pixels[np.ix_(y8, x9)].astype(np.int16)
+    dbits = (g[:, 1:] > g[:, :-1]).flatten()
+    dval = 0
+    for bit in dbits:
+        dval = (dval << 1) | int(bit)
     truth = {
         "width": w,
         "height": h,
         "mean_brightness": round(float(pixels.mean()), 4),
         "n_pixels": int(pixels.size),
         "thumb_md5": hashlib.md5(pixels[np.ix_(yi, xi)].tobytes()).hexdigest(),
+        "dhash": f"{dval:016x}",
     }
     return encode_simg(meta, pixels), truth
 
@@ -265,6 +277,7 @@ def generate(
             "thumb_md5": pa.array(
                 [t["thumb_md5"] for t in media_truth], pa.string()
             ),
+            "dhash": pa.array([t["dhash"] for t in media_truth], pa.string()),
         }
     )
 
@@ -296,8 +309,9 @@ def ensure_dataset(
     function of (n_docs, seed), so presence implies validity)."""
     # marker version bumps force regeneration when generated content
     # changes (v3: small row groups; v4: per-blob alignment modes;
-    # v5: media_truth ground-truth sidecar; v6: thumb_md5 truth column)
-    marker = os.path.join(out_dir, f".complete-v6-{n_docs}-{seed}-{media_scale}")
+    # v5: media_truth ground-truth sidecar; v6: thumb_md5 truth column;
+    # v7: dhash truth column)
+    marker = os.path.join(out_dir, f".complete-v7-{n_docs}-{seed}-{media_scale}")
     paths = {
         "documents": os.path.join(out_dir, "documents.parquet"),
         "media": os.path.join(out_dir, "media.parquet"),

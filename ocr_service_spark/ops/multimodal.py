@@ -348,3 +348,79 @@ def media_size_stats(media: DataFrame) -> DataFrame:
         F.max("file_size").alias("max_bytes"),
         F.expr("percentile_approx(file_size, 0.5)").alias("p50_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# perceptual hashing: difference hash (dHash) per image — the standard
+# near-duplicate key for image corpora (train-set image dedup). The rule
+# is the 8x9 nearest-index subsample with bit = right pixel strictly
+# brighter than its left neighbor, packed row-major to 16 hex chars —
+# byte-identical to the generation-time truth in datagen.py, so the
+# sidecar oracle checks decode + hash end to end.
+# --------------------------------------------------------------------------
+
+_DHASH_SCHEMA = "media_ref string, dhash string"
+
+
+def dhash_pixels(px: np.ndarray) -> str:
+    h, w = px.shape
+    y8 = np.clip((np.arange(8) * h) // 8, 0, h - 1)
+    x9 = np.clip((np.arange(9) * w) // 9, 0, w - 1)
+    g = px[np.ix_(y8, x9)].astype(np.int16)
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return f"{val:016x}"
+
+
+def _dhash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for ref, b in zip(pdf["media_ref"], pdf["content"]):
+            try:
+                _, px = decode_simg(b)
+            except Exception:
+                rows.append((ref, None))
+                continue
+            rows.append((ref, dhash_pixels(px)))
+        yield pd.DataFrame(rows, columns=["media_ref", "dhash"])
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    return media.select("media_ref", "content").mapInPandas(
+        _dhash_kernel, schema=_DHASH_SCHEMA
+    )
+
+
+def media_phash_dedup(media: DataFrame) -> DataFrame:
+    """Near-dup candidate stats per image: the 64-bit dHash split into
+    four 16-bit bands (4 hex chars each), images sharing ANY band are
+    candidates — the Hamming-space analog of MinHash band blocking
+    (identical hashes share all 4 bands; hashes within a few bit flips
+    still share at least one). Output: (media_ref, dhash,
+    n_band_neighbors) where n_band_neighbors sums the other members of
+    the image's four band buckets. One explode + one groupBy on the
+    band key — never an all-pairs Hamming scan."""
+    hashed = media_dhash(media).filter(F.col("dhash").isNotNull())
+    bands = hashed.select(
+        "media_ref",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("dhash", 1 + 4 * i, 4).alias("bkey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_ref", "dhash", "b.band", "b.bkey")
+    sizes = bands.groupBy("band", "bkey").agg(F.count("*").alias("bs"))
+    return (
+        bands.join(sizes, ["band", "bkey"])
+        .groupBy("media_ref", "dhash")
+        .agg(F.sum(F.col("bs") - 1).alias("n_band_neighbors"))
+    )

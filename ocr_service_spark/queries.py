@@ -72,6 +72,18 @@ def media_size_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_size_stats(media)
 
 
+def media_phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup stats over the synthetic media table;
+    the oracle recomputes the identical band-blocking arithmetic from
+    the generation-time dhash sidecar, so decode + dHash + blocking is
+    checked end to end."""
+    from .ops.multimodal import media_phash_dedup
+
+    data_dir = _entry_dataset_dir()
+    media = spark.read.parquet(f"{data_dir}/media.parquet")
+    return media_phash_dedup(media)
+
+
 def media_thumbnail_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -226,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_metadata"] = media_metadata_query
     out["media_size_stats"] = media_size_stats_query
     out["media_thumbnails"] = media_thumbnail_query
+    out["media_phash_dedup"] = media_phash_query
     out["video_frame_sample"] = video_frame_sample_query
     out["audio_features"] = audio_features_query
     for mod in (relational, textstats, dedup, similarity, streaming):
@@ -275,6 +288,19 @@ def _media_oracles() -> dict[str, str]:
             "SELECT media_ref, thumb_md5, 16 AS thumb_w, 16 AS thumb_h "
             f"FROM read_parquet('{media_truth}')"
         ),
+        "media_phash_dedup": f"""
+WITH t AS (SELECT media_ref, dhash FROM read_parquet('{media_truth}')),
+bands AS (
+  SELECT media_ref, dhash, b.band,
+         substring(dhash, 1 + 4 * b.band, 4) AS bkey
+  FROM t, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+sizes AS (SELECT band, bkey, count(*) AS bs FROM bands GROUP BY 1, 2)
+SELECT bands.media_ref, bands.dhash,
+       CAST(sum(bs - 1) AS BIGINT) AS n_band_neighbors
+FROM bands JOIN sizes USING (band, bkey)
+GROUP BY 1, 2
+""",
         "video_frame_sample": (
             "SELECT media_ref, frame_idx, mean_brightness, frame_md5 "
             f"FROM read_parquet('{av['video']}')"

@@ -89,3 +89,33 @@ def test_av_determinism_across_parallelism(spark):
         )
     )
     assert a == b
+
+
+def test_phash_dedup_finds_planted_duplicates(spark):
+    """Exact duplicate images share the full dHash (all 4 bands); a
+    near-duplicate differing by a small local edit still lands in most
+    bands; an unrelated image stays isolated."""
+    from ocr_service_spark.kernels.media import encode_simg
+    from ocr_service_spark.ops.multimodal import dhash_pixels, media_phash_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+    near = base.copy()
+    near[4, 5] = 255 - near[4, 5]  # one-pixel edit
+    other = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+    blobs = [
+        ("mem://p/a", encode_simg({"w": 40, "h": 32, "quad": None, "lines": [], "conf": {}}, base)),
+        ("mem://p/b", encode_simg({"w": 40, "h": 32, "quad": None, "lines": [], "conf": {}}, base)),
+        ("mem://p/c", encode_simg({"w": 40, "h": 32, "quad": None, "lines": [], "conf": {}}, near)),
+        ("mem://p/d", encode_simg({"w": 40, "h": 32, "quad": None, "lines": [], "conf": {}}, other)),
+    ]
+    media = spark.createDataFrame(blobs, "media_ref string, content binary")
+    rows = {r["media_ref"]: r for r in media_phash_dedup(media).collect()}
+    # exact dup: identical hash, each sees the other in all 4 bands
+    assert rows["mem://p/a"]["dhash"] == rows["mem://p/b"]["dhash"] == dhash_pixels(base)
+    assert rows["mem://p/a"]["n_band_neighbors"] >= 4
+    # near dup: a one-pixel edit can flip at most a couple of bands, so
+    # it still shares bands with the originals
+    assert rows["mem://p/c"]["n_band_neighbors"] >= 2
+    # unrelated random image matches nothing
+    assert rows["mem://p/d"]["n_band_neighbors"] == 0
