@@ -580,7 +580,12 @@ def run_cascade(
     Recognizers with ``use_watchdog`` (the real-library adapters — a
     hung image_to_data/predict call can't observe the soft deadline)
     run each attempt under _call_with_budget for the REMAINING soft
-    budget; a timed-out attempt counts as an engine failure."""
+    budget. The FIRST timed-out attempt ends the cascade for this span
+    (straight to the failed-span path): a wedged native engine tends to
+    wedge on the same image again, and each abandoned watchdog call
+    leaves a daemon thread competing for the GIL/native resources with
+    every subsequent attempt on the same worker — so abandoned threads
+    are bounded at one per span, not one per cascade attempt."""
     import time as _time
 
     last: EngineResult | None = None
@@ -598,7 +603,10 @@ def run_cascade(
                 )
             else:
                 text, conf = recognizer.recognize(meta, img, engine, variant)
-        except Exception as exc:  # engine failure/timeout → next attempt
+        except EngineTimeoutError as exc:  # hung engine → fail the span now
+            last_err = exc
+            break
+        except Exception as exc:  # engine failure → next attempt
             last_err = exc
             continue
         last = EngineResult(text, conf, engine, variant == "preprocessed")

@@ -341,12 +341,22 @@ def ensure_av_truth(out_dir: str) -> dict[str, str]:
 
 
 def media_size_stats(media: DataFrame) -> DataFrame:
-    """Byte-size distribution of the blob store (native columns only)."""
+    """Byte-size distribution of the blob store (native columns only).
+    The median is EXACT discrete (percentile_disc — same lower-middle
+    element rule as DuckDB's quantile_disc oracle, verified on even
+    counts): percentile_approx would only be incidentally exact while
+    the blob count stays under the sketch accuracy (10⁴) and would make
+    the oracle compare flaky on a larger media table. Exact percentile
+    sorts per group — fine for a 1-row global stat; at 10^12 blobs swap
+    in the t-digest (percentile_approx) with a toleranced check, as
+    quantile_sketch does for events."""
     return media.agg(
         F.count("*").alias("n_blobs"),
         F.sum("file_size").alias("total_bytes"),
         F.max("file_size").alias("max_bytes"),
-        F.expr("percentile_approx(file_size, 0.5)").alias("p50_bytes"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY file_size)")
+        .cast("int")
+        .alias("p50_bytes"),
     )
 
 

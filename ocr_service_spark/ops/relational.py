@@ -886,10 +886,18 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions, pruning both dimensions (here: 16.7 vs 10.1 of 64 blocks
     at sf0.01 — a gap that widens with grid resolution and query
     selectivity, which is exactly the lakehouse OPTIMIZE ZORDER BY
-    argument). Shapes: one bounds aggregate, one rank window per layout
-    feeding a 64-row block-stats aggregate, then the block x query-grid
-    cross join is 64 x 169 rows — everything after the corpus scan is
-    statistics-sized."""
+    argument). Shapes: one bounds aggregate; each layout's global rank
+    is the TWO-PHASE distributed prefix rank (packing.py's shape — a
+    global no-partitionBy row_number window would sort the whole corpus
+    in one reducer): rows bucket by a key-monotone column (zkey itself
+    for the Z-order layout, a 256-cell equi-width time bucket for the
+    natural layout), per-bucket counts collect to the driver (≤256 rows
+    — model-update-sized), and the within-bucket rank window runs one
+    partition per bucket in parallel; rank = bucket offset + local rank,
+    exactly the global rank because buckets are monotone in the sort
+    key. That feeds a 64-row block-stats aggregate, then the block ×
+    query-grid cross join is 64 × 169 rows — everything after the
+    corpus scan is statistics-sized or bucket-parallel."""
     n_grid = 1 << ZORDER_BITS
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_timestamp("ts").alias("tsu")
@@ -903,6 +911,10 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "n", "tsu",
         _zorder_bucket(F.col("user_id"), F.col("ulo"), F.col("uhi"), ZORDER_BITS).alias("ub"),
         _zorder_bucket(F.col("tsu"), F.col("tlo"), F.col("thi"), ZORDER_BITS).alias("tb"),
+        # fine (256-cell) time bucket: the natural layout's prefix-rank
+        # bucket — monotone in tsu, so bucket offsets + local rank
+        # reproduce the global (tsu, event_id) rank exactly
+        _zorder_bucket(F.col("tsu"), F.col("tlo"), F.col("thi"), 2 * ZORDER_BITS).alias("tbf"),
     )
     # Morton interleave via plain integer arithmetic (identical
     # expression on the oracle side; no engine-specific bit builtins)
@@ -913,19 +925,42 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for k in range(ZORDER_BITS)
     )
-    keyed = g.select("event_id", "n", "ub", "tb", "tsu", z.alias("zkey"))
+    # materialized once: both layouts' partial-count jobs and the final
+    # union re-read this 6-ints/event projection instead of re-scanning
+    # and re-bucketing the corpus four times (packing.py's tradeoff note)
+    keyed = g.select(
+        "event_id", "n", "ub", "tb", "tbf", "tsu", z.alias("zkey")
+    ).localCheckpoint(eager=False)  # materializes with the first partials job
     npos = n_grid - ZORDER_Q + 1
     qs = spark.range(npos).select(F.col("id").cast("int").alias("qu")).crossJoin(
         spark.range(npos).select(F.col("id").cast("int").alias("qt"))
     )
+
+    def _two_phase_rank(bucket_name: str, order_cols) -> DataFrame:
+        """Global rank by (bucket, *order_cols) without a global window:
+        per-bucket counts -> driver exclusive prefix (≤256 rows) ->
+        bucket-parallel local row_number + broadcast offset."""
+        partials = keyed.groupBy(bucket_name).agg(F.count("*").alias("cnt")).collect()
+        run = 0
+        offsets = []
+        for r in sorted(partials, key=lambda r: r[bucket_name]):
+            offsets.append((r[bucket_name], run))
+            run += r["cnt"]
+        off = spark.createDataFrame(offsets, f"{bucket_name} int, boff long")
+        w = W.partitionBy(bucket_name).orderBy(*order_cols)
+        return keyed.join(F.broadcast(off), bucket_name).withColumn(
+            "rk", F.col("boff") + F.row_number().over(w)
+        )
+
     layouts = []
-    for name, order in (
-        ("zorder", [F.col("zkey"), F.col("event_id")]),
-        ("natural", [F.col("tsu"), F.col("event_id")]),
+    for name, bucket_name, order in (
+        # zkey IS the bucket (256 Morton values); within a bucket the
+        # residual order key is event_id alone
+        ("zorder", "zkey", [F.col("event_id")]),
+        ("natural", "tbf", [F.col("tsu"), F.col("event_id")]),
     ):
-        w = W.orderBy(*order)
         blocks = (
-            keyed.withColumn("rk", F.row_number().over(w))
+            _two_phase_rank(bucket_name, order)
             .withColumn(
                 "block",
                 # rk is IntegerType from row_number: cast to long BEFORE

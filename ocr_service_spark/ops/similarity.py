@@ -214,11 +214,50 @@ def _ivf_cells_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-(session, sf_dir) caches: the coarse-quantizer "model" (the K
 # centroid vectors, driver-side numpy) and the persisted cell-assignment
 # DataFrame — cells histogram + probe share one assignment scan, and
-# repeated probes pay zero extra jobs for model building
+# repeated probes pay zero extra jobs for model building.
+# Keys carry the dataset fingerprint; _cache_put evicts (and unpersists)
+# any prior entry for the same (appId, sf_dir) so a regenerated table or
+# a dataset-sweep driver (bench_scaling, shuffle_audit) can never pin an
+# unbounded chain of stale O(NQ·n) persisted frames in executor storage.
 _IVF_MODEL_CACHE: dict[tuple, tuple] = {}
 _CELLS_CACHE: dict[tuple, DataFrame] = {}
 _PQ_MODEL_CACHE: dict[tuple, tuple] = {}
 _PQ_RECALL_CACHE: dict[tuple, DataFrame] = {}
+_RECALL_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+_ALL_CACHES = (
+    _IVF_MODEL_CACHE,
+    _CELLS_CACHE,
+    _PQ_MODEL_CACHE,
+    _PQ_RECALL_CACHE,
+    _RECALL_PAIRS_CACHE,
+)
+
+
+def _cache_put(cache: dict, key: tuple, value) -> None:
+    """Insert under `key`, evicting every entry with the same
+    (appId, sf_dir) prefix but a different fingerprint; evicted
+    DataFrames are unpersisted (blocking=False)."""
+    for old in [k for k in cache if k[:2] == key[:2] and k != key]:
+        stale = cache.pop(old)
+        if isinstance(stale, DataFrame):
+            try:
+                stale.unpersist()
+            except Exception:  # session already stopped — nothing pinned
+                pass
+    cache[key] = value
+
+
+def clear_similarity_caches() -> None:
+    """Explicit hook for dataset-sweep drivers: unpersist and drop every
+    cached model/frame across all (appId, sf_dir) keys."""
+    for cache in _ALL_CACHES:
+        for key in list(cache):
+            stale = cache.pop(key)
+            if isinstance(stale, DataFrame):
+                try:
+                    stale.unpersist()
+                except Exception:
+                    pass
 
 
 def _ivf_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
@@ -260,7 +299,7 @@ def _ivf_model(spark: SparkSession, sf_dir: str):
         )
         cent_norm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
         m = (k, cent_mat, cent_ids, cent_norm)
-        _IVF_MODEL_CACHE[key] = m
+        _cache_put(_IVF_MODEL_CACHE, key, m)
     return m
 
 
@@ -311,7 +350,7 @@ def _ivf_cells_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _CELLS_CACHE.get(key)
     if df is None:
         df = _ivf_cells(spark, sf_dir)
-        _CELLS_CACHE[key] = df
+        _cache_put(_CELLS_CACHE, key, df)
     return df
 
 
@@ -457,23 +496,30 @@ JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) v
 
 
 # --- k-means clustering (unrolled Lloyd, oracle-checkable) -----------------
-KM_K = 8        # coarse cluster count (seeds = first K vectors)
+# K = √n (the IVF sizing rule — at 10^12 vectors K = 10^6), seeds = the
+# first K vectors. KM_K_MIN floors tiny test corpora.
+KM_K_MIN = 4
 KM_ROUND = 6    # centroid rounding: kills engine-summation ulp divergence
 
 
 def _km_assign_udf(cent_mat: np.ndarray, cent_ids: np.ndarray):
     """Vectorized squared-L2 argmin over a broadcast centroid matrix —
     one row out per row in, ties toward the smallest cid (np.argmin
-    returns the first minimum; cent_ids are sorted ascending). Distances
-    round to KM_ROUND decimals before the argmin so near-tie cells can't
-    flip on summation-order ulps between numpy and the oracle engine."""
+    returns the first minimum; cent_ids are sorted ascending). The
+    distance uses the matmul expansion ‖x‖² + ‖c‖² − 2x·c (one BLAS
+    GEMM per Arrow batch) instead of materializing the batch×K×d
+    difference tensor — with K = √n that tensor is the exact row
+    inflation a 10^6-centroid assignment cannot afford. Distances round
+    to KM_ROUND decimals before the argmin so near-tie cells can't flip
+    on summation-order ulps between numpy/BLAS and the oracle engine."""
+    cn2 = (cent_mat * cent_mat).sum(axis=1)
 
     @F.pandas_udf(T.LongType())
     def assign(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="int64")
         x = np.stack(vs.to_numpy()).astype(np.float64)
-        d = ((x[:, None, :] - cent_mat[None, :, :]) ** 2).sum(axis=2)
+        d = (x * x).sum(axis=1)[:, None] + cn2[None, :] - 2.0 * (x @ cent_mat.T)
         return pd.Series(cent_ids[np.argmin(np.round(d, KM_ROUND), axis=1)])
 
     return assign
@@ -481,25 +527,32 @@ def _km_assign_udf(cent_mat: np.ndarray, cent_ids: np.ndarray):
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding k-means — two Lloyd iterations in the canonical
-    distributed shape: assignment is a pandas-UDF argmin over the
-    broadcast K×d centroid matrix (one Arrow-batched matmul-style pass,
-    one row out per row in); the centroid update is posexplode →
-    groupBy(cid, dim) avg collected to the driver (K×d values — the
-    tiny model update every distributed k-means does between
-    iterations). Centroid means round to KM_ROUND decimals so the
-    assignment is engine-precision-independent, and the output is
-    integer-only (final cluster sizes + members that moved between
-    iterations), exactly matched by a DuckDB oracle with the Lloyd
-    steps unrolled as CTEs. Seeds are the first K vectors (same
-    deterministic rule as the IVF coarse quantizer)."""
+    distributed shape with K = √n (the IVF sizing; at 10^12 vectors
+    K = 10^6): assignment is a pandas-UDF argmin over the broadcast K×d
+    centroid matrix (one Arrow-batched matmul-style pass, one row out
+    per row in); the centroid update is a TWO-LEVEL aggregation —
+    posexplode → groupBy(cid, dim) avg → groupBy(cid) collect_list —
+    so the driver receives K packed model rows (one d-vector per
+    centroid), never a K×d-row collect burst; at 10^6 centroids the
+    same frame is fetched range-partitioned on cid in bounded chunks
+    (toLocalIterator) while the model spills to disk — collect() here
+    is the small-K fast path of that identical shape. Centroid
+    means round to KM_ROUND decimals so the assignment is
+    engine-precision-independent, and the output is integer-only (final
+    cluster sizes + members that moved between iterations), exactly
+    matched by a DuckDB oracle with the Lloyd steps unrolled as CTEs.
+    Seeds are the first K vectors (same deterministic rule as the IVF
+    coarse quantizer)."""
     import pyarrow.parquet as pq
 
     from . import table_path
 
+    path = table_path(sf_dir, "embeddings")
+    km_k = max(KM_K_MIN, _ivf_k(pq.ParquetFile(path).metadata.num_rows))
     tbl = pq.read_table(
-        table_path(sf_dir, "embeddings"),
+        path,
         columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", KM_K)],
+        filters=[("vec_id", "<", km_k)],
     ).sort_by("vec_id")
     ids0 = tbl["vec_id"].to_numpy().astype(np.int64)
     c0 = np.array(
@@ -514,15 +567,17 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         a1.select("cid", F.posexplode("v").alias("pos", "x"))
         .groupBy("cid", "pos")
         .agg(F.round(F.avg("x"), KM_ROUND).alias("c"))
-        .collect()
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("cv"))
     )
-    by_cid: dict[int, dict[int, float]] = {}
-    for r in m1:
-        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
-    ids1 = np.array(sorted(by_cid), dtype=np.int64)
-    c1 = np.array(
-        [[by_cid[c][p] for p in sorted(by_cid[c])] for c in ids1], dtype=np.float64
-    )
+    ids_list: list[int] = []
+    vecs: list[list[float]] = []
+    for r in m1.collect():  # K packed model rows, one per centroid
+        ids_list.append(r["cid"])
+        vecs.append([e["c"] for e in r["cv"]])
+    order = np.argsort(np.array(ids_list, dtype=np.int64))
+    ids1 = np.array(ids_list, dtype=np.int64)[order]
+    c1 = np.array(vecs, dtype=np.float64)[order]
     assign1 = _km_assign_udf(c1, ids1)
     # one pass computes BOTH assignments (re-running the cheap iter-0
     # argmin beats a vec_id shuffle join of two assignment scans)
@@ -536,9 +591,13 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_KMEANS = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+WITH kmk AS (
+  SELECT greatest({KM_K_MIN}, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS kk
+  FROM embeddings
+),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
-c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KM_K}),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT kk FROM kmk)),
 d1 AS (SELECT e.vec_id, c0.cid,
          round(list_sum(list_transform(range(1, len(e.v) + 1),
                  i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))), {KM_ROUND}) AS d
@@ -567,8 +626,8 @@ GROUP BY a2.cid
 
 
 # --- ANN recall measurement ------------------------------------------------
-ANN_RECALL_NQ = 16  # sampled query panel size
-_RECALL_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+ANN_RECALL_NQ = 16  # sampled query panel size (_RECALL_PAIRS_CACHE is
+                    # declared with the other caches above)
 
 
 def _two_level_topk(
@@ -676,7 +735,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _RECALL_PAIRS_CACHE.get(key)
     if cached is None:
         cached = pairs.persist()
-        _RECALL_PAIRS_CACHE[key] = cached
+        _cache_put(_RECALL_PAIRS_CACHE, key, cached)
     pairs = cached
     # one shared two-level ranking definition for all arms (see
     # _two_level_topk)
@@ -811,7 +870,7 @@ def _pq_model(spark: SparkSession, sf_dir: str):
         raise ValueError(f"embedding dim {d} not divisible by PQ_M={PQ_M}")
     sub = d // PQ_M
     books = seeds.reshape(k, PQ_M, sub).transpose(1, 0, 2)  # (M, k, sub)
-    _PQ_MODEL_CACHE[key] = (k, books)
+    _cache_put(_PQ_MODEL_CACHE, key, (k, books))
     return k, books
 
 
@@ -917,25 +976,27 @@ PQ_NQ = 8  # recall-panel size: seed queries 0..NQ-1 (all inside the
            # the code-assignment distance rows — no extra model state)
 
 
-def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@K of the PQ/ADC ranking against exact squared-L2, per
-    panel query — the quantization-loss number a compressed index must
-    measure before anyone trusts 4-bit codes at 10^12 vectors. Both
-    arms rank in integer micro-units with the same (distance, vec_id)
-    tiebreak, so the comparison is bit-deterministic across engines.
-
-    Scale shape: the ADC arm never touches the float vectors (nested
-    literal-array lookups over the codes column); the exact arm is the
-    O(NQ·n) ground-truth price, kept linear by the fixed panel — the
-    same budget the ann_recall panel pays. Both arms use the two-level
-    top-K (partition-local then global) so no task ever sorts a full
-    query's candidate set."""
+def _pq_panel_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared PQ panel frame (qid, vec_id, cid, adc, exact_d), one
+    row per (panel query, candidate): ADC in integer micro-units via the
+    per-query LUTs, exact squared-L2 in the same micro-unit discipline,
+    and the candidate's IVF coarse cell (for the multiprobe arms — one
+    extra pandas-UDF column over the same vector batch, no extra scan).
+    Persisted once per (session, dataset) — q_pq_recall and
+    q_ann_ivfpq_multiprobe share it, and repeat panel runs must not leak
+    cache entries (same eviction policy as _RECALL_PAIRS_CACHE)."""
+    key = _ivf_cache_key(spark, sf_dir)
+    cached = _PQ_RECALL_CACHE.get(key)
+    if cached is not None:
+        return cached
     k, books = _pq_model(spark, sf_dir)
     nq = min(PQ_NQ, k)
     # per-query ADC LUTs in integer micro-units (queries are the seeds;
     # same builder as the single-query probes) — (M, nq, k)
     luts = np.stack([_pq_query_lut(k, books, q) for q in range(nq)], axis=1)
-    codes = _pq_codes_df(spark, sf_dir)
+    codes = _pq_codes_df(spark, sf_dir).withColumn(
+        "cid", _ivf_assign_udf(spark, sf_dir)("v")
+    )
     qs = codes.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
@@ -964,19 +1025,28 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "qid",
         "vec_id",
+        "cid",
         adc.alias("adc"),
         F.round(exd * 1_000_000).cast("long").alias("exact_d"),
-    )
+    ).persist()
+    _cache_put(_PQ_RECALL_CACHE, key, scored)
+    return scored
 
-    # persist once per (session, dataset) — the two arms share the
-    # scored frame, and repeat panel runs must not leak cache entries
-    # (same policy as _RECALL_PAIRS_CACHE)
-    key = _ivf_cache_key(spark, sf_dir)
-    cached = _PQ_RECALL_CACHE.get(key)
-    if cached is None:
-        cached = scored.persist()
-        _PQ_RECALL_CACHE[key] = cached
-    scored = cached
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the PQ/ADC ranking against exact squared-L2, per
+    panel query — the quantization-loss number a compressed index must
+    measure before anyone trusts 4-bit codes at 10^12 vectors. Both
+    arms rank in integer micro-units with the same (distance, vec_id)
+    tiebreak, so the comparison is bit-deterministic across engines.
+
+    Scale shape: the ADC arm never touches the float vectors (nested
+    literal-array lookups over the codes column); the exact arm is the
+    O(NQ·n) ground-truth price, kept linear by the fixed panel — the
+    same budget the ann_recall panel pays. Both arms use the two-level
+    top-K (partition-local then global) so no task ever sorts a full
+    query's candidate set."""
+    scored = _pq_panel_scored(spark, sf_dir)
     topa = _two_level_topk(scored, F.col("adc"))
     tope = _two_level_topk(scored, F.col("exact_d"))
     return (
@@ -984,6 +1054,83 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid")
         .agg(F.count("hit").alias("n_overlap"))
     )
+
+
+# --- IVFADC multi-probe (the production recall-vs-cost knob) ----------------
+IVFPQ_NPROBE = 4  # cells swept by the multiprobe arm
+
+
+def _panel_probe_cells(spark: SparkSession, sf_dir: str, nq: int, nprobe: int):
+    """(nq, ≤nprobe) nearest coarse cells per panel query, driver-side —
+    the SAME cosine expression as the assignment kernel (so column 0 is
+    exactly the query's assigned cell), ranked with ties toward the
+    smaller cid, matching the oracle's row_number ORDER BY ccos DESC,
+    cid. At 10^12 vectors this is a 10^6-row centroid table the driver
+    (or each executor) already holds for assignment — probe-cell
+    selection is model-sized, never a Spark job."""
+    k, cent_mat, cent_ids, cent_norm = _ivf_model(spark, sf_dir)
+    if len(cent_ids) < nq or not np.array_equal(
+        cent_ids[:nq], np.arange(nq, dtype=np.int64)
+    ):
+        raise ValueError(
+            f"panel queries must be contiguous seed vec_ids 0..{nq - 1}"
+        )
+    x = cent_mat[:nq]
+    cos = (x @ cent_mat.T) / (
+        np.sqrt((x * x).sum(axis=1))[:, None] * cent_norm[None, :]
+    )
+    width = min(nprobe, k)
+    out = np.empty((nq, width), dtype=np.int64)
+    for i in range(nq):
+        idx = np.lexsort((cent_ids, -cos[i]))
+        out[i] = cent_ids[idx[:width]]
+    return out
+
+
+def q_ann_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC recall-vs-cost panel: recall@K and candidate-scan cost of
+    the composed IVF+PQ probe at nprobe=1 (the query's own cell) vs
+    nprobe=IVFPQ_NPROBE (the 4 nearest cells — the production multiprobe
+    sweep, FAISS `nprobe`). Ground truth is exact squared-L2 over all
+    candidates; both probe arms rank by integer-LUT asymmetric distance,
+    restricted to the probed cells via a broadcast (nq × nprobe) literal
+    cell table — probe-cell selection is driver-side model math, zero
+    Spark jobs. Everything reuses the one persisted panel frame
+    (_pq_panel_scored), so the whole query adds only statistics-sized
+    work on top of the pq_recall scan."""
+    scored = _pq_panel_scored(spark, sf_dir)
+    k, _ = _pq_model(spark, sf_dir)
+    nq = min(PQ_NQ, k)
+    qcells = _panel_probe_cells(spark, sf_dir, nq, IVFPQ_NPROBE)
+    cells_lit = F.array(
+        *[F.array(*[F.lit(int(c)) for c in row]) for row in qcells]
+    )
+    my_cells = F.element_at(cells_lit, (F.col("qid") + 1).cast("int"))
+    in1 = F.element_at(my_cells, 1) == F.col("cid")
+    inp = F.array_contains(my_cells, F.col("cid"))
+    counts = scored.groupBy("qid").agg(
+        F.sum(in1.cast("long")).alias("n_cand_np1"),
+        F.sum(inp.cast("long")).alias("n_cand_np4"),
+    )
+    tope = _two_level_topk(scored, F.col("exact_d"))
+
+    def _arm(flag, tag: str):
+        top = _two_level_topk(scored.filter(flag), F.col("adc"))
+        x, a = tope.alias("x"), top.alias("a")
+        hits = x.join(
+            a,
+            (F.col("x.qid") == F.col("a.qid"))
+            & (F.col("x.vec_id") == F.col("a.vec_id")),
+            "left",
+        ).select(F.col("x.qid").alias("qid"), F.col("a.vec_id").alias("hit"))
+        return hits.groupBy("qid").agg(
+            F.count("hit").alias(f"n_hits{tag}"),
+            F.round(F.count("hit") / F.lit(TOP_K), 4).alias(f"recall{tag}"),
+        )
+
+    return _arm(in1, "_np1").join(_arm(inp, "_np4"), "qid").join(counts, "qid")
+
+
 
 
 # CTE body shared by every PQ oracle; `pe` (not `e`) so it composes with
@@ -1129,6 +1276,78 @@ GROUP BY 1
 )
 
 
+_ORACLE_IVFPQ_MULTIPROBE = (
+    _IVF_CELLS_SQL
+    + ",\n"
+    + _PQ_CTES
+    + f""",
+q AS (SELECT vec_id AS qid, v AS qv FROM pe WHERE vec_id < {PQ_NQ}),
+lut AS (
+  SELECT vec_id AS qid, sub_idx, code, CAST(round(d * 1000000) AS BIGINT) AS du
+  FROM dists WHERE vec_id < {PQ_NQ}
+),
+qcells AS (
+  SELECT vec_id AS qid, cid, rn FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM scored WHERE vec_id < {PQ_NQ})
+  WHERE rn <= {IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT qc.qid, ce.vec_id, qc.rn
+  FROM cells ce JOIN qcells qc ON qc.cid = ce.cid
+  WHERE ce.vec_id != qc.qid
+),
+counts AS (
+  SELECT q.qid,
+         CAST(coalesce(sum(CASE WHEN ca.rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_cand_np1,
+         CAST(count(ca.vec_id) AS BIGINT) AS n_cand_np4
+  FROM q LEFT JOIN cand ca ON ca.qid = q.qid
+  GROUP BY q.qid
+),
+padc AS (
+  SELECT ca.qid, ca.vec_id, ca.rn, CAST(sum(l.du) AS BIGINT) AS adc
+  FROM cand ca
+  JOIN codes c ON c.vec_id = ca.vec_id
+  JOIN lut l ON l.qid = ca.qid AND l.sub_idx = c.sub_idx AND l.code = c.code
+  GROUP BY 1, 2, 3
+),
+top1 AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS r
+    FROM padc WHERE rn = 1) WHERE r <= {TOP_K}),
+top4 AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS r
+    FROM padc) WHERE r <= {TOP_K}),
+ex AS (
+  SELECT q.qid, pe.vec_id,
+         CAST(round(round(list_sum(list_transform(range(1, len(pe.v) + 1),
+               i -> (pe.v[i] - q.qv[i]) * (pe.v[i] - q.qv[i]))), {PQ_ROUND})
+               * 1000000) AS BIGINT) AS d
+  FROM pe CROSS JOIN q WHERE pe.vec_id != q.qid
+),
+tope AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+    FROM ex) WHERE rn <= {TOP_K})
+SELECT t.qid,
+       CAST(count(a1.vec_id) AS BIGINT) AS n_hits_np1,
+       round(count(a1.vec_id) / CAST({TOP_K} AS DOUBLE), 4) AS recall_np1,
+       CAST(count(a4.vec_id) AS BIGINT) AS n_hits_np4,
+       round(count(a4.vec_id) / CAST({TOP_K} AS DOUBLE), 4) AS recall_np4,
+       any_value(counts.n_cand_np1) AS n_cand_np1,
+       any_value(counts.n_cand_np4) AS n_cand_np4
+FROM tope t
+LEFT JOIN top1 a1 ON a1.qid = t.qid AND a1.vec_id = t.vec_id
+LEFT JOIN top4 a4 ON a4.qid = t.qid AND a4.vec_id = t.vec_id
+JOIN counts ON counts.qid = t.qid
+GROUP BY t.qid
+"""
+)
+
+
 EXTRA_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "ann_recall": q_ann_recall,
@@ -1136,6 +1355,7 @@ EXTRA_QUERIES = {
     "pq_adc_probe": q_pq_adc_probe,
     "pq_recall": q_pq_recall,
     "ann_ivfpq_probe": q_ann_ivfpq_probe,
+    "ann_ivfpq_multiprobe": q_ann_ivfpq_multiprobe,
 }
 
 EXTRA_ORACLES = {
@@ -1145,6 +1365,7 @@ EXTRA_ORACLES = {
     "pq_adc_probe": _ORACLE_PQ_ADC,
     "pq_recall": _ORACLE_PQ_RECALL,
     "ann_ivfpq_probe": _ORACLE_IVFPQ_PROBE,
+    "ann_ivfpq_multiprobe": _ORACLE_IVFPQ_MULTIPROBE,
 }
 
 
