@@ -100,7 +100,11 @@ def _make_pdf_span(rng: np.random.Generator) -> str:
 
 
 def _make_media_blob(
-    rng: np.random.Generator, idx: int, heavy: bool, scale: int = 1
+    rng: np.random.Generator,
+    idx: int,
+    heavy: bool,
+    scale: int = 1,
+    codec: str = "simg",
 ) -> tuple[bytes, dict]:
     side = int(rng.integers(384, 768)) if heavy else int(rng.integers(48, 160))
     # media_scale > 1 → receipt-photo-sized images for benchmarking (the
@@ -182,21 +186,42 @@ def _make_media_blob(
         "thumb_md5": hashlib.md5(pixels[np.ix_(yi, xi)].tobytes()).hexdigest(),
         "dhash": f"{dval:016x}",
     }
+    if codec == "png":  # real-image path (generate() docstring); the
+        # codec switch happens after every rng draw, so simg/png datasets
+        # share identical pixels, metadata and downstream rng state
+        from .kernels.media import encode_png_gray
+
+        return encode_png_gray(pixels), truth
     return encode_simg(meta, pixels), truth
 
 
 def generate(
-    out_dir: str, n_docs: int, seed: int = 42, media_scale: int = 1
+    out_dir: str,
+    n_docs: int,
+    seed: int = 42,
+    media_scale: int = 1,
+    png_media: int = 0,
 ) -> dict[str, str]:
     """Generate documents/media/golden parquet under ``out_dir``.
 
     media_scale multiplies synthetic image dimensions (1 = tiny test
-    images; 4 ≈ receipt-photo pixel counts for realistic bench cost)."""
+    images; 4 ≈ receipt-photo pixel counts for realistic bench cost).
+
+    png_media > 0 re-encodes the first N media blobs as REAL PNG bytes
+    (the built-in stdlib codec) instead of SIMG: those spans travel the
+    real-image path end to end — decode_real_image → align → binarize →
+    QR chain → RealRecognizer cascade. The golden sidecar stays valid
+    automatically (extract_document runs the same per-blob kernel
+    single-threaded): without OCR libraries the span completes as the
+    documented failed media_text span with NULL text, with them it
+    completes with engine text — either way Spark must match. The
+    media_truth sidecar marks these rows codec='png' and carries their
+    real decode ground truth."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
     doc_ids, doc_spans = [], []
-    media_refs, media_blobs, media_truth = [], [], []
+    media_refs, media_blobs, media_truth, media_codecs = [], [], [], []
     golden_rows = []
     media_lookup: dict[str, bytes] = {}
     media_idx = 0
@@ -226,10 +251,14 @@ def generate(
             offset = int(offsets[slot])
             if kind == "media":
                 ref = f"mem://img/{seed}/{media_idx:08d}"
-                blob, truth = _make_media_blob(rng, media_idx, heavy, media_scale)
+                codec = "png" if media_idx < png_media else "simg"
+                blob, truth = _make_media_blob(
+                    rng, media_idx, heavy, media_scale, codec
+                )
                 media_refs.append(ref)
                 media_blobs.append(blob)
                 media_truth.append(truth)
+                media_codecs.append(codec)
                 media_lookup[ref] = blob
                 media_idx += 1
                 spans.append({"kind": "media", "text": None, "media_ref": ref, "offset": offset})
@@ -254,7 +283,9 @@ def generate(
             "media_ref": pa.array(media_refs, pa.string()),
             "content": pa.array(media_blobs, pa.binary()),
             "file_size": pa.array([len(b) for b in media_blobs], pa.int32()),
-            "mime_type": pa.array(["image/simg"] * len(media_blobs), pa.string()),
+            "mime_type": pa.array(
+                [f"image/{c}" for c in media_codecs], pa.string()
+            ),
             "width": pa.array([None] * len(media_blobs), pa.int32()),
             "height": pa.array([None] * len(media_blobs), pa.int32()),
         }
@@ -272,7 +303,7 @@ def generate(
                 [t["mean_brightness"] for t in media_truth], pa.float64()
             ),
             "n_pixels": pa.array([t["n_pixels"] for t in media_truth], pa.int64()),
-            "codec": pa.array(["simg"] * len(media_truth), pa.string()),
+            "codec": pa.array(media_codecs, pa.string()),
             "file_size": pa.array([len(b) for b in media_blobs], pa.int32()),
             "thumb_md5": pa.array(
                 [t["thumb_md5"] for t in media_truth], pa.string()
@@ -303,7 +334,11 @@ def generate(
 
 
 def ensure_dataset(
-    out_dir: str, n_docs: int, seed: int = 42, media_scale: int = 1
+    out_dir: str,
+    n_docs: int,
+    seed: int = 42,
+    media_scale: int = 1,
+    png_media: int = 0,
 ) -> dict[str, str]:
     """Generate once, reuse across test sessions (content is a pure
     function of (n_docs, seed), so presence implies validity)."""
@@ -311,7 +346,11 @@ def ensure_dataset(
     # changes (v3: small row groups; v4: per-blob alignment modes;
     # v5: media_truth ground-truth sidecar; v6: thumb_md5 truth column;
     # v7: dhash truth column)
-    marker = os.path.join(out_dir, f".complete-v7-{n_docs}-{seed}-{media_scale}")
+    marker = os.path.join(
+        out_dir,
+        f".complete-v7-{n_docs}-{seed}-{media_scale}"
+        + (f"-png{png_media}" if png_media else ""),
+    )
     paths = {
         "documents": os.path.join(out_dir, "documents.parquet"),
         "media": os.path.join(out_dir, "media.parquet"),
@@ -320,7 +359,7 @@ def ensure_dataset(
     }
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
         return paths
-    paths = generate(out_dir, n_docs, seed, media_scale)
+    paths = generate(out_dir, n_docs, seed, media_scale, png_media)
     with open(marker, "w") as fh:
         fh.write("ok")
     return paths
@@ -334,5 +373,6 @@ if __name__ == "__main__":
     ap.add_argument("--n-docs", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--media-scale", type=int, default=1)
+    ap.add_argument("--png-media", type=int, default=0)
     a = ap.parse_args()
-    print(generate(a.out_dir, a.n_docs, a.seed, a.media_scale))
+    print(generate(a.out_dir, a.n_docs, a.seed, a.media_scale, a.png_media))

@@ -44,3 +44,38 @@ def test_metrics_cover_all_media_blobs(result):
     assert sum(m["n_blobs"] for m in metrics) > 0
     assert all(m["ocr_chars"] >= 0 for m in metrics)
     assert any(m["kernel_ms_max"] is not None for m in metrics)
+
+
+def test_real_png_media_end_to_end(spark, tmp_path_factory):
+    """Pipeline-level real-image coverage, non-gated: a dataset whose
+    first 4 media blobs are REAL PNG bytes (datagen png_media option)
+    runs the full distributed extract — python-direct row-group reads,
+    decode_real_image → align → binarize → QR chain → RealRecognizer
+    cascade → reassembly — and still matches the golden sidecar span
+    for span. Without OCR libraries the PNG spans complete as the
+    documented failed media_text spans with NULL text; with libraries
+    they carry engine text — the golden producer runs the same per-blob
+    kernel single-threaded, so the invariant holds either way."""
+    import importlib.util
+
+    from ocr_service_spark.datagen import ensure_dataset
+
+    out_dir = str(tmp_path_factory.mktemp("png-ds"))
+    paths = ensure_dataset(out_dir, 24, seed=7, png_media=4)
+    docs, media = load_inputs(spark, out_dir)
+    out, _ = run_extract(spark, docs, media)
+    got = _seqs(out.collect())
+    golden = _seqs(spark.read.parquet(paths["golden"]).collect())
+    assert got == golden
+    # the PNG blobs actually traveled the real path
+    truth = spark.read.parquet(paths["media_truth"])
+    png_refs = {r["media_ref"] for r in truth.filter("codec = 'png'").collect()}
+    assert len(png_refs) == 4
+    png_spans = [s for seq in got.values() for s in seq if s[2] in png_refs]
+    assert len(png_spans) == 4
+    have_engine = importlib.util.find_spec("pytesseract") is not None or (
+        importlib.util.find_spec("paddleocr") is not None
+    )
+    if not have_engine:
+        for kind, text, _ref, _order in png_spans:
+            assert kind == "media_text" and text is None
