@@ -136,12 +136,77 @@ def verify_report(path: str) -> int:
     return 1 if missing else 0
 
 
+def coverage_md(report_path: str, out_path: str = "ORACLE_COVERAGE.md") -> int:
+    """Write the registered-vs-reported delta as a tracked artifact:
+    per-registry-slot status against the given driver CORRECTNESS file,
+    so the 50-row report cap's effect is explicit every round (round-3
+    verdict Next #4). Re-run after each CORRECTNESS_rNN.json lands."""
+    import json
+
+    import __spark_entry__ as entrymod
+
+    with open(report_path) as fh:
+        report = json.load(fh)
+    names = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    lines = [
+        "# ORACLE COVERAGE — registered vs driver-reported",
+        "",
+        f"Source report: `{os.path.basename(report_path)}`. "
+        f"Registered queries: **{len(names)}**; driver rows: "
+        f"**{len(report)}** (the driver reports the first 50 registry "
+        "slots). Every entry is also checked locally by "
+        "`tools/check_oracle.py <sf_dir>` (DuckDB mirror) and "
+        "`tests/test_queries_oracle.py`.",
+        "",
+        "| slot | query | oracle | driver row | status |",
+        "|---|---|---|---|---|",
+    ]
+    n_missing = 0
+    for i, name in enumerate(names, 1):
+        row = report.get(name)
+        if row is None:
+            status = "NO ROW (beyond report cap)" if i > 50 else "NO ROW (!)"
+            n_missing += i <= 50
+        elif row.get("err"):
+            status = "FAIL: " + row["err"].strip().splitlines()[-1][:60]
+        elif all(row.get(k) for k in ("rows_match", "schema_match", "hash_match")):
+            status = "green"
+        elif name not in oracles and row.get("rows_match") is None:
+            status = "rows-only"
+        else:
+            status = "MISMATCH " + str(
+                {k: row.get(k) for k in ("rows_match", "schema_match", "hash_match")}
+            )
+        has_oracle = "sql" if name in oracles else "rows-only"
+        lines.append(f"| {i} | {name} | {has_oracle} | {'yes' if row else 'no'} | {status} |")
+    missing = [n for n in names if n not in report]
+    lines += [
+        "",
+        f"Unreported this round: {len(missing)} "
+        "(rotate into the head of the registry next round if any have "
+        "never had a green driver row).",
+        "",
+    ]
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out_path}: {len(names)} registered, {len(report)} reported")
+    return 1 if n_missing else 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--verify-report":
         if len(sys.argv) < 3:
             print("usage: check_oracle.py --verify-report CORRECTNESS_rNN.json")
             return 2
         return verify_report(sys.argv[2])
+    if len(sys.argv) > 1 and sys.argv[1] == "--coverage-md":
+        if len(sys.argv) < 3:
+            print("usage: check_oracle.py --coverage-md CORRECTNESS_rNN.json [out.md]")
+            return 2
+        return coverage_md(
+            sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "ORACLE_COVERAGE.md"
+        )
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:]) or None
 
