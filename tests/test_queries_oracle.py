@@ -70,6 +70,33 @@ def test_registry_consistency():
     assert names.index("ann_ivfpq_multiprobe") < 50
 
 
+def test_similarity_cache_eviction(spark):
+    """_cache_put evicts (and unpersists) stale entries for the same
+    (appId, sf_dir) when the dataset fingerprint changes, so a sweep
+    over regenerated tables never pins a chain of dead persisted frames
+    in executor storage (round-3 advice)."""
+    from pyspark.sql import functions as F
+
+    from ocr_service_spark.ops.similarity import _cache_put
+
+    cache = {}
+    app = spark.sparkContext.applicationId
+    df_old = spark.range(4).select(F.col("id")).persist()
+    df_old.count()
+    _cache_put(cache, (app, "/ds", "fp1"), df_old)
+    df_new = spark.range(4).select(F.col("id") * 2)
+    _cache_put(cache, (app, "/ds", "fp2"), df_new)
+    assert list(cache) == [(app, "/ds", "fp2")]
+    assert not df_old.storageLevel.useMemory  # unpersisted on eviction
+    # a different sf_dir under the same app is NOT evicted
+    other = spark.range(2)
+    _cache_put(cache, (app, "/other", "fp1"), other)
+    assert len(cache) == 2
+    # idempotent re-put under the identical key keeps the entry
+    _cache_put(cache, (app, "/ds", "fp2"), df_new)
+    assert cache[(app, "/ds", "fp2")] is df_new
+
+
 def test_ivf_pandas_matches_declarative(spark):
     """The default pandas-UDF argmax assignment and the declarative
     explode×K window-argmax must agree vector-for-vector (the float

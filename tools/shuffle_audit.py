@@ -96,6 +96,11 @@ def measure(sf_dir: str) -> dict[str, int]:
         qs[name](spark, sf_dir).collect()
         out[name] = _snapshot(spark) - before
     spark.stop()
+    # drop model/persisted-frame caches keyed to the stopped session so a
+    # multi-dataset sweep in one process never chains stale entries
+    from ocr_service_spark.ops.similarity import clear_similarity_caches
+
+    clear_similarity_caches()
     return out
 
 
