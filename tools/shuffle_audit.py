@@ -50,11 +50,15 @@ AUDIT = {
     "embedding_neardup": "embeddings",     # corpus-sized LSH blocking
     "ann_lsh_buckets": "embeddings",
     "hard_negatives": "embeddings",        # panel broadcast + 2-level topk
+    # embeddings-driven, round 4
+    "ann_ivfpq_multiprobe": "embeddings",  # shared PQ panel + cell filters
+    "kmeans_clusters": "embeddings",       # K=sqrt(n), 2-level model update
     # events-driven (100x)
     "quantile_sketch": "events",           # mergeable W-counter sketch
     "range_join_event_pairs": "events",    # time-bucket blocking
     "asof_last_order": "events",
     "sessionization": "events",
+    "zorder_locality": "events",           # two-phase prefix rank (r4)
 }
 
 
