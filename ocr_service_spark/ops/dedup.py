@@ -185,19 +185,15 @@ SELECT simhash, count(*) AS n_docs FROM hashes GROUP BY simhash
 MAX_SHINGLE_BUCKET = 64  # frequent-shingle cap: drop posting lists above this
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram Jaccard similarity for same-lang doc pairs sharing ≥1
-    trigram; returns pairs above 0.05 (histogram by rounded bin).
-
-    Scale shape: group-by-shingle pair generation, NOT a self-join of the
-    exploded trigram table — one scan of the corpus, one shuffle on
-    (lang, trigram), pairs emitted row-locally from each posting list.
-    The frequent-shingle cap (posting lists larger than
-    MAX_SHINGLE_BUCKET are dropped) is the production guard against
-    O(n²) mega-buckets from stop-phrase trigrams; the DuckDB oracle
-    applies the identical cap so both sides stay comparable
-    (test_jaccard_mega_bucket_dropped pins the behavior)."""
-    docs = widen(load(spark, sf_dir, "documents"))
+def _trigram_jaccard_pairs(docs: DataFrame, min_jaccard: float) -> DataFrame:
+    """Verified word-trigram Jaccard pairs (d1 < d2, jaccard ≥ threshold)
+    via group-by-shingle pair generation — the shared candidate engine
+    behind the pair histogram and the source-overlap matrix. Scale
+    shape: one corpus scan, one shuffle on (lang, trigram), pairs
+    emitted row-locally from capped posting lists (≤ MAX_SHINGLE_BUCKET
+    — the production guard against O(n²) stop-phrase mega-buckets);
+    the jaccard division is exact integer arithmetic, bit-identical
+    across engines."""
     # materialize the word array in its own projection: inlining it into
     # the lambda would re-split the text once per trigram (Catalyst only
     # collapses projections when the duplicated expression is cheap)
@@ -229,19 +225,76 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.d1", "p.d2")
     common = pairs.groupBy("d1", "d2").agg(F.count("*").alias("c"))
-    jac = (
+    return (
         common.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
         .withColumn("jaccard", F.col("c") / (F.col("sz1") + F.col("sz2") - F.col("c")))
-        .filter(F.col("jaccard") >= 0.05)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("d1", "d2", "jaccard")
     )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard similarity for same-lang doc pairs sharing ≥1
+    trigram; returns pairs above 0.05 (histogram by rounded bin). Pair
+    generation and its scale shape: _trigram_jaccard_pairs (the DuckDB
+    oracle applies the identical shingle cap so both sides stay
+    comparable — test_jaccard_mega_bucket_dropped pins the behavior)."""
+    docs = widen(load(spark, sf_dir, "documents"))
+    jac = _trigram_jaccard_pairs(docs, 0.05)
     return jac.groupBy(F.round("jaccard", 2).alias("jaccard_bin")).agg(
         F.count("*").alias("n_pairs")
     )
 
 
-_ORACLE_JACCARD = f"""
-WITH ex AS (
+OVERLAP_MIN_JACCARD = 0.05  # cross-source affinity threshold
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every (source_a ≤ source_b)
+    pair, how many verified near-dup document pairs cross them (plus the
+    strongest overlap seen) — the provenance rollup a corpus curator
+    reads BEFORE mixture weighting: two sources that heavily duplicate
+    each other should not both be up-weighted, and a source whose
+    diagonal entry is large is internally redundant (the cross-dump /
+    cross-source dedup accounting of RefinedWeb [Penedo et al. 2023]
+    and Dolma [Soldaini et al. 2024]).
+
+    Scale shape: the pair engine is _trigram_jaccard_pairs (capped
+    posting lists, pairs row-local). The verified pair table is
+    dedup-output-sized (≪ corpus), so the two doc_id→source lookups are
+    plain shuffled joins whose pair side AQE converts to broadcast at
+    any realistic dup rate; the matrix itself is |sources|²-bounded —
+    statistics-sized."""
+    docs = widen(load(spark, sf_dir, "documents"))
+    jac = _trigram_jaccard_pairs(docs, OVERLAP_MIN_JACCARD)
+    srcs = docs.select("doc_id", "source")
+    return (
+        jac.join(
+            srcs.withColumnRenamed("doc_id", "d1").withColumnRenamed("source", "s1"),
+            "d1",
+        )
+        .join(
+            srcs.withColumnRenamed("doc_id", "d2").withColumnRenamed("source", "s2"),
+            "d2",
+        )
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            # max of bit-identical doubles: order-independent, oracle-exact
+            F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+        )
+    )
+
+
+# shared CTE body: verified trigram-Jaccard pairs (d1, d2, jaccard) —
+# the SQL twin of _trigram_jaccard_pairs, identical shingle cap
+_JACCARD_CTES = f"""ex AS (
   SELECT doc_id, lang, unnest(list_distinct(list_transform(
            range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
            i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS g
@@ -259,12 +312,30 @@ common AS (
   GROUP BY 1, 2
 ),
 jac AS (
-  SELECT c.c / CAST(s1.sz + s2.sz - c.c AS DOUBLE) AS jaccard
+  SELECT c.d1, c.d2, c.c / CAST(s1.sz + s2.sz - c.c AS DOUBLE) AS jaccard
   FROM common c JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
-)
+)"""
+
+_ORACLE_JACCARD = (
+    "WITH " + _JACCARD_CTES + """
 SELECT round(jaccard, 2) AS jaccard_bin, count(*) AS n_pairs
 FROM jac WHERE jaccard >= 0.05 GROUP BY 1
 """
+)
+
+_ORACLE_SOURCE_OVERLAP = (
+    "WITH " + _JACCARD_CTES + f"""
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs,
+       round(max(jaccard), 4) AS max_jaccard
+FROM jac
+JOIN documents da ON da.doc_id = jac.d1
+JOIN documents db ON db.doc_id = jac.d2
+WHERE jaccard >= {OVERLAP_MIN_JACCARD}
+GROUP BY 1, 2
+"""
+)
 
 
 # --- embedding cosine near-dup ------------------------------------------------------
@@ -832,12 +903,14 @@ EXTRA_QUERIES = {
     "leakage_safe_split": q_leakage_safe_split,
     "semantic_dedup": q_semantic_dedup,
     "bloom_seen_probe": q_bloom_seen_probe,
+    "source_overlap_matrix": q_source_overlap_matrix,
 }
 
 EXTRA_ORACLES = {
     "leakage_safe_split": _ORACLE_SPLIT,
     "semantic_dedup": _semdedup_sql(),
     "bloom_seen_probe": _bloom_sql(),
+    "source_overlap_matrix": _ORACLE_SOURCE_OVERLAP,
 }
 
 

@@ -278,6 +278,7 @@ _ROUND4_HEAD = (
     "volume_anomalies",
     # new this round (no row yet anywhere)
     "ann_ivfpq_multiprobe",
+    "source_overlap_matrix",
     # single-green (upgraded to oracle only in round 3) + queries whose
     # implementation changed this round (media_size_stats exact median,
     # IVF cache eviction under ann_ivf_probe)

@@ -68,6 +68,8 @@ def test_registry_consistency():
     assert set(names[2:38]) == never_reported_r3
     # new round-4 operators must also land inside the 50-row window
     assert names.index("ann_ivfpq_multiprobe") < 50
+    assert names.index("source_overlap_matrix") < 50
+    assert len(_ROUND4_HEAD) <= 50
 
 
 def test_similarity_cache_eviction(spark):
