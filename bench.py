@@ -42,11 +42,12 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# measured on this host in a quiet window (median of 3 on 2026-08-18:
-# 4.41/4.59/4.65): the wall of _gemm_control(32). A bench run whose
-# control wall is well above this is a loaded window; the extract
-# number should be read accordingly.
-GEMM_CONTROL_REF_S = 4.6
+# best observed idle-window wall of _gemm_control(32) on this host
+# (round-4 probes ranged 3.7 quiet → 7.2 loaded; 4.4-4.7 is the common
+# mildly-shared regime). host_load_factor = wall / this reference; a
+# bench whose factor is well above ~1.2 ran in a loaded window and its
+# extract number should be read accordingly.
+GEMM_CONTROL_REF_S = 3.7
 
 
 def _gemm_control(cores: int) -> float:
