@@ -320,8 +320,17 @@ def _write_markdown(r: dict) -> None:
         "`python tools/bench_scaling.py`; bench.py embeds it under `scaling`).",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write("\n".join(lines))
+    # regenerate only the sweep header; hand-written "## ..." sections
+    # (round notes, window disclosures) survive the rewrite
+    path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("\n## ")
+        if i != -1:
+            tail = old[i:]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + tail)
 
 
 def main() -> int:
