@@ -145,6 +145,7 @@ HEADLINE = [
     "source_mixture_weights",
     "ann_ivfpq_multiprobe",
     "source_overlap_matrix",
+    "minhash_lsh_recall",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

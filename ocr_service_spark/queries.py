@@ -279,6 +279,7 @@ _ROUND4_HEAD = (
     # new this round (no row yet anywhere)
     "ann_ivfpq_multiprobe",
     "source_overlap_matrix",
+    "minhash_lsh_recall",
     # single-green (upgraded to oracle only in round 3) + queries whose
     # implementation changed this round (media_size_stats exact median,
     # IVF cache eviction under ann_ivf_probe)
@@ -291,8 +292,7 @@ _ROUND4_HEAD = (
     "audio_features",
     "ann_ivf_probe",
     "ann_lsh_probe",
-    "knn_bruteforce",
-)  # = slots 1-49; slot 50 is the first veteran below
+)  # exactly 50 slots — the driver's report window; veterans follow
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

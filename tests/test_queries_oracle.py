@@ -69,6 +69,7 @@ def test_registry_consistency():
     # new round-4 operators must also land inside the 50-row window
     assert names.index("ann_ivfpq_multiprobe") < 50
     assert names.index("source_overlap_matrix") < 50
+    assert names.index("minhash_lsh_recall") < 50
     assert len(_ROUND4_HEAD) <= 50
 
 
