@@ -46,6 +46,8 @@ AUDIT = {
     "tfidf_top_terms": "documents",
     "pmi_cooccurrence": "documents",       # row-local skipgram pairs
     "doc_chunks": "documents",             # pure projection: zero-shuffle
+    "source_overlap_matrix": "documents",  # banded pairs -> source matrix (r4)
+    "minhash_lsh_recall": "documents",     # capped truth + capped candidates (r4)
     # embeddings-driven (4x)
     "embedding_neardup": "embeddings",     # corpus-sized LSH blocking
     "ann_lsh_buckets": "embeddings",
