@@ -146,6 +146,9 @@ HEADLINE = [
     "ann_ivfpq_multiprobe",
     "source_overlap_matrix",
     "minhash_lsh_recall",
+    "quality_signal_corr",
+    "priority_sample",
+    "semantic_decontam",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

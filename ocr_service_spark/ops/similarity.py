@@ -1458,3 +1458,87 @@ WHERE rank <= {HN_K}
 
 EXTRA_QUERIES["hard_negatives"] = q_hard_negatives
 EXTRA_ORACLES["hard_negatives"] = _ORACLE_HARDNEG
+
+
+# --- embedding-space decontamination ------------------------------------------
+# The semantic twin of decontam_hits (which matches 4-token shingles):
+# eval-benchmark CONTAMINATION often survives lexical rewording but not
+# embedding distance, so production pipelines run both. The panel is a
+# fixed-size external eval table at real scale (~1e5 rows), broadcast to
+# every executor; here every DECON_MOD-th vector plays the benchmark,
+# capped at DECON_PANEL_MAX. Scoring is the _km_assign_udf shape: one
+# BLAS matmul per Arrow batch against the broadcast panel matrix, ONE
+# row out per row in (never NQ×P candidate rows), then a map-side-
+# combined per-label rollup — flat at 100 TB.
+DECON_MOD = 97        # deterministic synthetic stand-in for the eval table
+DECON_PANEL_MAX = 64  # eval panels are fixed-size, not corpus-proportional
+DECON_TH = 0.3        # same similarity bar as the embedding near-dup
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label contamination report against the eval panel: n_vectors,
+    n_contaminated (max panel cosine ≥ DECON_TH), avg/max of the per-
+    vector max panel cosine. Cosines round to 6 decimals inside the UDF
+    (the hard_negatives precedent) so the BLAS summation order and the
+    oracle's list-fold agree bit-for-bit after rounding."""
+    emb = load(spark, sf_dir, "embeddings")
+    panel_rows = (
+        emb.filter((F.col("vec_id") % DECON_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(DECON_PANEL_MAX)
+        .select(_as_double("embedding").alias("v"))
+        .collect()
+    )
+    pmat = np.array([r["v"] for r in panel_rows], dtype=np.float64)
+    pnorm = np.sqrt((pmat * pmat).sum(axis=1))
+
+    @F.pandas_udf(T.DoubleType())
+    def max_panel_cos(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        cos = (x @ pmat.T) / (
+            np.sqrt((x * x).sum(axis=1))[:, None] * pnorm[None, :]
+        )
+        return pd.Series(np.round(cos, 6).max(axis=1))
+
+    corpus = emb.filter((F.col("vec_id") % DECON_MOD) != 0).select(
+        "label", _as_double("embedding").alias("v")
+    )
+    scored = corpus.select("label", max_panel_cos("v").alias("mc"))
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((F.col("mc") >= DECON_TH).cast("long")).alias("n_contaminated"),
+        F.round(F.avg("mc"), 4).alias("avg_max_cos"),
+        F.round(F.max("mc"), 6).alias("max_max_cos"),
+    )
+
+
+_ORACLE_DECON = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT v AS pv, sqrt(list_sum(list_transform(v, x -> x * x))) AS pn
+  FROM e WHERE vec_id % {DECON_MOD} = 0 ORDER BY vec_id LIMIT {DECON_PANEL_MAX}
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         max(round(list_sum(list_transform(list_zip(e.v, p.pv), q -> q[1] * q[2]))
+             / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * p.pn), 6)) AS mc
+  FROM e CROSS JOIN p
+  WHERE e.vec_id % {DECON_MOD} != 0
+  GROUP BY 1, 2
+)
+SELECT label, count(*) AS n_vectors,
+       CAST(sum(CASE WHEN mc >= {DECON_TH} THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(avg(mc), 4) AS avg_max_cos,
+       round(max(mc), 6) AS max_max_cos
+FROM scored GROUP BY label
+"""
+
+
+EXTRA_QUERIES["semantic_decontam"] = q_semantic_decontam
+EXTRA_ORACLES["semantic_decontam"] = _ORACLE_DECON

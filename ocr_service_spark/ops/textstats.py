@@ -1160,3 +1160,156 @@ WHERE len(l[1 + k * {CHUNK_STRIDE} : k * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) > 0
 
 EXTRA_QUERIES["doc_chunks"] = q_doc_chunks
 EXTRA_ORACLES["doc_chunks"] = _ORACLE_CHUNKS
+
+
+# --- quality-signal correlation panel ----------------------------------------
+# Curation sanity check: before gating a corpus on several quality
+# signals, measure how redundant they are. Pearson r comes from ONE
+# map-side-combined moment aggregation (count/sum/co-moments merge
+# associatively), so the exchange carries a fixed-width summary no
+# matter the corpus size — the flattest shape an operator can have at
+# 100 TB. Correlation is scale-invariant (population vs sample factors
+# cancel), so Spark's corr and DuckDB's corr agree up to summation-
+# order ulps, absorbed by rounding.
+_CORR_SIGNALS = ("chars", "tokens", "uniq_tokens", "stop_hits")
+
+
+def q_quality_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wide row: pairwise Pearson correlation of four per-document
+    quality signals (chars, whitespace tokens, distinct tokens, English
+    stopword hits). On this corpus chars/tokens correlate near +1 (they
+    gate the same thing — keep one), while distinct-token and stopword
+    rates carry partially independent signal; that redundancy matrix is
+    the decision input for which filters to actually run over 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    sig = docs.select(
+        F.length("text").cast("double").alias("chars"),
+        F.size(tokens).cast("double").alias("tokens"),
+        F.size(F.array_distinct(tokens)).cast("double").alias("uniq_tokens"),
+        F.size(F.filter(tokens, lambda t: t.isin(*_STOP["en"]))).cast("double").alias("stop_hits"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for i, a in enumerate(_CORR_SIGNALS):
+        for b in _CORR_SIGNALS[i + 1:]:
+            aggs.append(F.round(F.corr(a, b), 5).alias(f"corr_{a}_{b}"))
+    return sig.agg(*aggs)
+
+
+def _corr_sql() -> str:
+    pairs = ",\n       ".join(
+        f"round(corr({a}, {b}), 5) AS corr_{a}_{b}"
+        for i, a in enumerate(_CORR_SIGNALS)
+        for b in _CORR_SIGNALS[i + 1:]
+    )
+    return f"""
+WITH sig AS (
+  SELECT CAST(length(text) AS DOUBLE) AS chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS uniq_tokens,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN {_EN_STOP_SQL})) AS DOUBLE) AS stop_hits
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       {pairs}
+FROM sig
+"""
+
+
+EXTRA_QUERIES["quality_signal_corr"] = q_quality_signal_corr
+EXTRA_ORACLES["quality_signal_corr"] = _corr_sql()
+
+
+# --- priority sampling (weighted sample without replacement) -----------------
+# Duffield-Lund-Thorup priority sampling (JACM 2007): each item draws
+# priority q = w / u with u uniform in (0, 1]; keep the k largest
+# priorities; with tau = the (k+1)-th priority, w_hat = max(w, tau) is
+# an unbiased estimator of each kept item's weight and sum(w_hat)
+# estimates total weight. The u here is hash-derived (52-bit salted
+# md5, the md5_bucket construction), so the sample is deterministic and
+# reproducible under retries — the property a curation pipeline needs
+# when a 100 TB sampling job restarts. q is two IEEE-754 correctly-
+# rounded ops on integer inputs (w * 2^52, then / (h+1)), so BOTH
+# engines compute bit-identical priorities — no transcendentals, no
+# rounding epsilon in the selection itself.
+PS_K = 64
+_PS_2_52 = float(1 << 52)
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of PS_K documents by n_chars, plus the measured
+    estimator quality: each row carries (doc_id, w, w_hat) and the
+    constant columns est_total (sum of w_hat over the sample),
+    true_total (exact corpus weight) and rel_err. Selection is a
+    distributed TakeOrdered (per-partition top-(k+1), then merge) —
+    the corpus is never globally sorted; everything after the scan is
+    (k+1) rows."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ps:"), F.col("doc_id").cast("string"))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+    )
+    q = (w.cast("double") * F.lit(_PS_2_52)) / (h.cast("double") + F.lit(1.0))
+    scored = docs.select("doc_id", w.alias("w"), q.alias("q"))
+    top = scored.orderBy(F.desc("q"), "doc_id").limit(PS_K + 1)
+    # rank within the (k+1)-row frame: statistics-sized window, same
+    # pattern as the kNN top-K rankers
+    ranked = top.select(
+        "*", F.row_number().over(Window.orderBy(F.desc("q"), "doc_id")).alias("rn")
+    )
+    tau = ranked.filter(F.col("rn") == PS_K + 1).select(F.col("q").alias("tau"))
+    samp = (
+        ranked.filter(F.col("rn") <= PS_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("w"),
+            F.round(F.greatest(F.col("w").cast("double"), F.col("tau")), 4).alias("w_hat"),
+        )
+    )
+    est = samp.agg(F.round(F.sum("w_hat"), 4).alias("est_total"))
+    tot = docs.select(F.sum(w).cast("long").alias("true_total"))
+    return (
+        samp.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "w",
+            "w_hat",
+            "est_total",
+            "true_total",
+            F.round(F.col("est_total") / F.col("true_total") - 1.0, 6).alias("rel_err"),
+        )
+    )
+
+
+_ORACLE_PRIORITY_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, greatest(n_chars, 1) AS w,
+         CAST(concat('0x', substring(md5(concat('ps:', CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) AS h
+  FROM documents
+),
+q AS (SELECT doc_id, w, (CAST(w AS DOUBLE) * {_PS_2_52!r}) / (CAST(h AS DOUBLE) + 1.0) AS q FROM w),
+ranked AS (SELECT doc_id, w, q, row_number() OVER (ORDER BY q DESC, doc_id) AS rn FROM q),
+tau AS (SELECT q AS tau FROM ranked WHERE rn = {PS_K} + 1),
+samp AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS w,
+         round(greatest(CAST(w AS DOUBLE), tau), 4) AS w_hat
+  FROM ranked, tau WHERE rn <= {PS_K}
+),
+est AS (SELECT round(sum(w_hat), 4) AS est_total FROM samp),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS true_total FROM w)
+SELECT doc_id, w, w_hat, est_total, true_total,
+       round(est_total / true_total - 1.0, 6) AS rel_err
+FROM samp, est, tot
+"""
+
+
+EXTRA_QUERIES["priority_sample"] = q_priority_sample
+EXTRA_ORACLES["priority_sample"] = _ORACLE_PRIORITY_SAMPLE

@@ -1,0 +1,72 @@
+"""Semantics tests for the late round-4 operators (the DuckDB parity
+gate lives in test_queries_oracle.py; these pin the properties the
+numbers must have, not just that both engines agree)."""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_quality_signal_corr_bounds_and_redundancy(spark):
+    from ocr_service_spark.ops.textstats import _CORR_SIGNALS, q_quality_signal_corr
+
+    row = q_quality_signal_corr(spark, SF_DIR).collect()[0].asDict()
+    assert row["n_docs"] > 0
+    pairs = [
+        f"corr_{a}_{b}"
+        for i, a in enumerate(_CORR_SIGNALS)
+        for b in _CORR_SIGNALS[i + 1 :]
+    ]
+    for p in pairs:
+        assert -1.0 <= row[p] <= 1.0, p
+    # chars and whitespace tokens gate the same thing — the panel must
+    # surface that redundancy (this is the decision the operator exists
+    # to inform)
+    assert row["corr_chars_tokens"] > 0.9
+    # stopword hits are a partially independent signal
+    assert row["corr_chars_stop_hits"] < row["corr_chars_tokens"]
+
+
+def test_priority_sample_estimator(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_service_spark.ops.textstats import PS_K, q_priority_sample
+    from ocr_service_spark.ops import load
+
+    out = q_priority_sample(spark, SF_DIR).collect()
+    assert len(out) == PS_K
+    docs = load(spark, SF_DIR, "documents")
+    true_total = docs.agg(
+        F.sum(F.greatest(F.col("n_chars"), F.lit(1)))
+    ).collect()[0][0]
+    for r in out:
+        # w_hat = max(w, tau) >= w, and every row carries the same panel
+        assert r["w_hat"] >= r["w"]
+        assert r["true_total"] == true_total
+        assert abs(r["est_total"] / r["true_total"] - 1.0 - r["rel_err"]) < 1e-4
+    # Duffield-Lund-Thorup: sum(w_hat) is an unbiased total-weight
+    # estimator; with k=64 of ~500 docs one draw lands well within ±50%
+    assert abs(out[0]["rel_err"]) < 0.5
+    # deterministic: a second run returns the identical sample
+    again = q_priority_sample(spark, SF_DIR).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_semantic_decontam_excludes_panel_and_flags(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_service_spark.ops.similarity import DECON_MOD, q_semantic_decontam
+    from ocr_service_spark.ops import load
+
+    out = q_semantic_decontam(spark, SF_DIR).collect()
+    emb = load(spark, SF_DIR, "embeddings")
+    n_corpus = emb.filter((F.col("vec_id") % DECON_MOD) != 0).count()
+    assert sum(r["n_vectors"] for r in out) == n_corpus  # panel excluded
+    for r in out:
+        assert 0 <= r["n_contaminated"] <= r["n_vectors"]
+        assert -1.0 <= r["avg_max_cos"] <= 1.0
+        assert r["max_max_cos"] >= r["avg_max_cos"]
+    # the labeled synthetic embeddings cluster by label, so SOME corpus
+    # vectors must sit within DECON_TH of a panel member — a planted-
+    # positive check that the alarm can fire at all
+    assert sum(r["n_contaminated"] for r in out) > 0
