@@ -48,6 +48,9 @@ AUDIT = {
     "doc_chunks": "documents",             # pure projection: zero-shuffle
     "source_overlap_matrix": "documents",  # banded pairs -> source matrix (r4)
     "minhash_lsh_recall": "documents",     # capped truth + capped candidates (r4)
+    "quality_signal_corr": "documents",    # fixed-width moment summary (r4)
+    "priority_sample": "documents",        # TakeOrdered top-(k+1), no global sort (r4)
+    "semantic_decontam": "embeddings",     # broadcast panel, 1 row out per row in (r4)
     # embeddings-driven (4x)
     "embedding_neardup": "embeddings",     # corpus-sized LSH blocking
     "ann_lsh_buckets": "embeddings",
