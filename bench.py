@@ -149,6 +149,7 @@ HEADLINE = [
     "quality_signal_corr",
     "priority_sample",
     "semantic_decontam",
+    "timeseries_gapfill",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

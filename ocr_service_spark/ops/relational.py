@@ -1629,3 +1629,110 @@ FROM scored GROUP BY event_type
 
 EXTRA_QUERIES["volume_anomalies"] = q_volume_anomalies
 EXTRA_ORACLES["volume_anomalies"] = _ORACLE_ANOM
+
+
+# --- hypertable rollup: time-bucket downsampling with gap fill + LOCF --------
+# The TimescaleDB time_bucket/gapfill/locf triple as one batch query:
+# continuous-aggregate downsampling of the event stream into fixed
+# 6-hour buckets, densified against a generated calendar so silent
+# buckets EXIST as rows (a monitor that never sees the empty bucket
+# never alarms on it), with last-observation-carried-forward for the
+# per-bucket average. Scale shape: ONE map-side-combined aggregation
+# reduces the corpus to (type x bucket) rows; the calendar is a
+# sequence() explode over the global [min, max] bucket range
+# (statistics-sized: buckets-per-year x types, not corpus rows); the
+# LOCF window partitions by type over that small grid. Buckets are
+# integer epoch arithmetic (floor(unix_seconds / W) * W), the
+# epoch_day/EPOCH_DAY_SQL construction, so both engines bucket
+# identically with no calendar/timezone arithmetic.
+GAPFILL_BUCKET_S = 21600  # 6-hour buckets
+_LOCF_SENTINEL = -1       # bucket before a type's first observation
+
+
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bucket_start, n_events, sum_value_cents,
+    avg_locf_cents, is_gap): dense 6-hour rollup of events — every
+    (type, bucket) cell in the global time range is present, empty
+    cells carry n_events=0 / sum 0 and the LOCF average of the type's
+    last active bucket (the -1 sentinel before its first observation).
+    All money math is integer cents: rounding a float average lands
+    EXACTLY on a decimal half whenever a sum of cents divides a power
+    of two (881.94/16 = 55.12125 — both engines' round() flip on the
+    ulp), so the per-bucket average is integer cents via DIV — exact
+    on any engine, at any scale (values are non-negative, so trunc
+    and floor division agree)."""
+    from pyspark.sql import Window
+
+    W = GAPFILL_BUCKET_S
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / W) * W).cast("long").alias("bucket"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    actual = (
+        ev.groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+        )
+        .withColumn("av", F.expr("sum_value_cents DIV n_events"))
+    )
+    bounds = ev.agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.lit(W))).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(cal))
+    j = grid.join(actual, ["event_type", "bucket"], "left")
+    locf = F.last("av", ignorenulls=True).over(
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        F.col("bucket").alias("bucket_start"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value_cents", F.lit(0)).cast("long").alias("sum_value_cents"),
+        F.coalesce(locf, F.lit(_LOCF_SENTINEL)).cast("long").alias("avg_locf_cents"),
+        (F.col("n_events").isNull()).cast("int").cast("long").alias("is_gap"),
+    )
+
+
+_ORACLE_GAPFILL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / {GAPFILL_BUCKET_S}) AS BIGINT) * {GAPFILL_BUCKET_S} AS bucket,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+actual AS (
+  SELECT event_type, bucket, count(*) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_value_cents,
+         CAST(sum(cents) AS BIGINT) // count(*) AS av
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM ev),
+cal AS (SELECT unnest(range(mn, mx + {GAPFILL_BUCKET_S}, {GAPFILL_BUCKET_S})) AS bucket FROM bounds),
+grid AS (SELECT t.event_type, c.bucket
+         FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN cal c),
+j AS (
+  SELECT g.event_type, g.bucket, a.n_events, a.sum_value_cents, a.av
+  FROM grid g LEFT JOIN actual a
+    ON g.event_type = a.event_type AND g.bucket = a.bucket
+)
+SELECT event_type, bucket AS bucket_start,
+       coalesce(n_events, 0) AS n_events,
+       CAST(coalesce(sum_value_cents, 0) AS BIGINT) AS sum_value_cents,
+       CAST(coalesce(last_value(av IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS UNBOUNDED PRECEDING), {_LOCF_SENTINEL}) AS BIGINT) AS avg_locf_cents,
+       CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM j
+"""
+
+
+EXTRA_QUERIES["timeseries_gapfill"] = q_timeseries_gapfill
+EXTRA_ORACLES["timeseries_gapfill"] = _ORACLE_GAPFILL

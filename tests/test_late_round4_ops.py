@@ -70,3 +70,42 @@ def test_semantic_decontam_excludes_panel_and_flags(spark):
     # vectors must sit within DECON_TH of a panel member — a planted-
     # positive check that the alarm can fire at all
     assert sum(r["n_contaminated"] for r in out) > 0
+
+
+def test_timeseries_gapfill_dense_grid_and_locf(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_service_spark.ops.relational import (
+        GAPFILL_BUCKET_S,
+        _LOCF_SENTINEL,
+        q_timeseries_gapfill,
+    )
+    from ocr_service_spark.ops import load
+
+    out = q_timeseries_gapfill(spark, SF_DIR)
+    rows = out.collect()
+    ev = load(spark, SF_DIR, "events").select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / GAPFILL_BUCKET_S) * GAPFILL_BUCKET_S)
+        .cast("long")
+        .alias("bucket"),
+    )
+    n_types = ev.select("event_type").distinct().count()
+    mn, mx = ev.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    n_buckets = (mx - mn) // GAPFILL_BUCKET_S + 1
+    # densification: EVERY (type, bucket) cell exists
+    assert len(rows) == n_types * n_buckets
+    assert any(r["is_gap"] == 1 for r in rows)  # real gaps exercised
+    by_type: dict = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["bucket_start"])):
+        prev = by_type.get(r["event_type"])
+        if r["is_gap"] == 1:
+            assert r["n_events"] == 0 and r["sum_value_cents"] == 0
+            # LOCF: a gap carries the previous row's average forward
+            expected = prev if prev is not None else _LOCF_SENTINEL
+            assert r["avg_locf_cents"] == expected
+        else:
+            assert r["n_events"] > 0
+            # integer-cents average: exact fixed-point, no float rounding
+            assert r["avg_locf_cents"] == r["sum_value_cents"] // r["n_events"]
+        by_type[r["event_type"]] = r["avg_locf_cents"]
