@@ -64,6 +64,7 @@ AUDIT = {
     "asof_last_order": "events",
     "sessionization": "events",
     "zorder_locality": "events",           # two-phase prefix rank (r4)
+    "timeseries_gapfill": "events",        # (type x bucket) summary + calendar (r4)
 }
 
 
