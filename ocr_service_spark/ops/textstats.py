@@ -1244,8 +1244,6 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed TakeOrdered (per-partition top-(k+1), then merge) —
     the corpus is never globally sorted; everything after the scan is
     (k+1) rows."""
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     w = F.greatest(F.col("n_chars"), F.lit(1))
     h = (
@@ -1257,24 +1255,25 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (w.cast("double") * F.lit(_PS_2_52)) / (h.cast("double") + F.lit(1.0))
     scored = docs.select("doc_id", w.alias("w"), q.alias("q"))
-    top = scored.orderBy(F.desc("q"), "doc_id").limit(PS_K + 1)
-    # rank within the (k+1)-row frame: statistics-sized window, same
-    # pattern as the kNN top-K rankers
-    ranked = top.select(
-        "*", F.row_number().over(Window.orderBy(F.desc("q"), "doc_id")).alias("rn")
+    # ONE distributed TakeOrdered (per-partition top-(k+1), then merge)
+    # materialized driver-side: (k+1) rows, the same bounded-collect
+    # shape as packing's bucket offsets. Without this, every downstream
+    # reference (tau, sample, estimator) would recompute the subtree —
+    # three corpus scans instead of one.
+    top = scored.orderBy(F.desc("q"), "doc_id").limit(PS_K + 1).collect()
+    tau = float(top[PS_K]["q"]) if len(top) > PS_K else 0.0
+    samp = spark.createDataFrame(
+        [(r["doc_id"], int(r["w"])) for r in top[:PS_K]], "doc_id long, w long"
     )
-    tau = ranked.filter(F.col("rn") == PS_K + 1).select(F.col("q").alias("tau"))
-    samp = (
-        ranked.filter(F.col("rn") <= PS_K)
-        .crossJoin(F.broadcast(tau))
-        .select(
-            "doc_id",
-            F.col("w").cast("long").alias("w"),
-            F.round(F.greatest(F.col("w").cast("double"), F.col("tau")), 4).alias("w_hat"),
-        )
+    # second corpus scan: the exact total the estimator is judged
+    # against (one map-side-combined sum)
+    tot = docs.select(F.sum(w).cast("long").alias("true_total"))
+    samp = samp.select(
+        "doc_id",
+        "w",
+        F.round(F.greatest(F.col("w").cast("double"), F.lit(tau)), 4).alias("w_hat"),
     )
     est = samp.agg(F.round(F.sum("w_hat"), 4).alias("est_total"))
-    tot = docs.select(F.sum(w).cast("long").alias("true_total"))
     return (
         samp.crossJoin(F.broadcast(est))
         .crossJoin(F.broadcast(tot))
