@@ -150,6 +150,7 @@ HEADLINE = [
     "priority_sample",
     "semantic_decontam",
     "timeseries_gapfill",
+    "touch_attribution",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

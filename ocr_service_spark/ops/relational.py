@@ -1736,3 +1736,111 @@ FROM j
 
 EXTRA_QUERIES["timeseries_gapfill"] = q_timeseries_gapfill
 EXTRA_ORACLES["timeseries_gapfill"] = _ORACLE_GAPFILL
+
+
+# --- multi-touch attribution --------------------------------------------------
+# Marketing attribution over the event stream: every purchase credits
+# the click/view touches the SAME user made within the preceding
+# horizon, under three standard models at once — first-touch,
+# last-touch, and linear. Credit is integer micro-units (ppm, 10^6 DIV
+# n_touches) so the whole operator is integer-exact on any engine — no
+# float credit fractions to round. Scale shape: the conversion×touch
+# pairing is the banded range join (time buckets the horizon wide,
+# conversions replicated into their own and previous bucket, exact
+# band filter after the equi-join — candidates bounded by band
+# population, never the O(n²) inequality cross product); the
+# first/last ranks are windows partitioned by conversion id, whose
+# group size is one user's touches within one horizon — bounded by
+# user activity, not corpus size.
+ATTR_HORIZON_S = 3600           # attribution window: 1 hour
+ATTR_TOUCH_TYPES = ("click", "view")
+ATTR_CONV_TYPE = "purchase"
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(touch_type, n_touches, n_conversions, first_touch, last_touch,
+    linear_credit_ppm): per touch channel, how many conversions it
+    opened (first-touch wins), closed (last-touch wins), and its linear
+    credit in ppm (each of a conversion's n touches earns 10^6 DIV n).
+    Ties on the same second break on event_id — both engines rank
+    identically."""
+    from pyspark.sql import Window
+
+    H = ATTR_HORIZON_S
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    conv = ev.filter(F.col("event_type") == ATTR_CONV_TYPE).select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("es").alias("ces"),
+        (F.col("es") / H).cast("long").alias("cb"),
+    )
+    conv = conv.withColumn("jb", F.explode(F.array(F.col("cb") - 1, F.col("cb"))))
+    touch = ev.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("touch_type"),
+        F.col("es").alias("tes"),
+        (F.col("es") / H).cast("long").alias("tb"),
+    )
+    pairs = conv.join(
+        touch,
+        (conv["user_id"] == touch["user_id"])
+        & (conv["jb"] == touch["tb"])
+        & (F.col("ces") - F.col("tes") >= 0)
+        & (F.col("ces") - F.col("tes") <= H),
+    ).select("conv_id", "touch_type", "tes", "tid")
+    w_first = Window.partitionBy("conv_id").orderBy("tes", "tid")
+    w_last = Window.partitionBy("conv_id").orderBy(F.desc("tes"), F.desc("tid"))
+    w_n = Window.partitionBy("conv_id")
+    scored = pairs.select(
+        "conv_id",
+        "touch_type",
+        F.row_number().over(w_first).alias("rf"),
+        F.row_number().over(w_last).alias("rl"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    return scored.groupBy("touch_type").agg(
+        F.count("*").alias("n_touches"),
+        F.countDistinct("conv_id").alias("n_conversions"),
+        F.sum((F.col("rf") == 1).cast("long")).alias("first_touch"),
+        F.sum((F.col("rl") == 1).cast("long")).alias("last_touch"),
+        F.sum(F.expr("1000000 DIV n")).alias("linear_credit_ppm"),
+    )
+
+
+_ORACLE_ATTR = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+conv AS (SELECT user_id, event_id AS conv_id, es AS ces FROM ev
+         WHERE event_type = '{ATTR_CONV_TYPE}'),
+touch AS (SELECT user_id, event_id AS tid, event_type AS touch_type, es AS tes
+          FROM ev WHERE event_type IN ('click', 'view')),
+pairs AS (
+  SELECT c.conv_id, t.touch_type, t.tes, t.tid
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND c.ces - t.tes >= 0 AND c.ces - t.tes <= {ATTR_HORIZON_S}
+),
+scored AS (
+  SELECT conv_id, touch_type,
+         row_number() OVER (PARTITION BY conv_id ORDER BY tes, tid) AS rf,
+         row_number() OVER (PARTITION BY conv_id ORDER BY tes DESC, tid DESC) AS rl,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM pairs
+)
+SELECT touch_type, count(*) AS n_touches,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+       CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+       CAST(sum(1000000 // n) AS BIGINT) AS linear_credit_ppm
+FROM scored GROUP BY touch_type
+"""
+
+
+EXTRA_QUERIES["touch_attribution"] = q_touch_attribution
+EXTRA_ORACLES["touch_attribution"] = _ORACLE_ATTR

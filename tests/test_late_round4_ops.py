@@ -109,3 +109,21 @@ def test_timeseries_gapfill_dense_grid_and_locf(spark):
             # integer-cents average: exact fixed-point, no float rounding
             assert r["avg_locf_cents"] == r["sum_value_cents"] // r["n_events"]
         by_type[r["event_type"]] = r["avg_locf_cents"]
+
+
+def test_touch_attribution_invariants(spark):
+    from ocr_service_spark.ops.relational import q_touch_attribution
+
+    rows = {r["touch_type"]: r for r in q_touch_attribution(spark, SF_DIR).collect()}
+    assert set(rows) == {"click", "view"}
+    n_conv_first = sum(r["first_touch"] for r in rows.values())
+    n_conv_last = sum(r["last_touch"] for r in rows.values())
+    # every attributed conversion has exactly ONE first and ONE last touch
+    assert n_conv_first == n_conv_last
+    for r in rows.values():
+        assert 0 < r["first_touch"] <= r["n_conversions"] <= r["n_touches"]
+        # linear credit conserves: each conversion distributes <= 1e6 ppm
+        # (integer DIV truncation loses at most n-1 ppm per conversion)
+        assert r["linear_credit_ppm"] <= r["n_conversions"] * 1_000_000
+    total_ppm = sum(r["linear_credit_ppm"] for r in rows.values())
+    assert n_conv_first * 900_000 < total_ppm <= n_conv_first * 1_000_000

@@ -65,6 +65,7 @@ AUDIT = {
     "sessionization": "events",
     "zorder_locality": "events",           # two-phase prefix rank (r4)
     "timeseries_gapfill": "events",        # (type x bucket) summary + calendar (r4)
+    "touch_attribution": "events",         # banded conv x touch join (r4)
 }
 
 
