@@ -151,6 +151,7 @@ HEADLINE = [
     "semantic_decontam",
     "timeseries_gapfill",
     "touch_attribution",
+    "neardup_pagerank",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

@@ -1199,3 +1199,150 @@ FROM agg WHERE rl + {PASSAGE_W - 1} >= {PASSAGE_MIN_TOKENS}
 
 EXTRA_QUERIES["duplicate_passages"] = q_duplicate_passages
 EXTRA_ORACLES["duplicate_passages"] = _ORACLE_PASSAGES
+
+
+# --- PageRank authority over the near-dup similarity graph -------------------
+# Which copy of a near-duplicate cluster should survive dedup? The
+# highest-authority one — the standard curation answer (keep the
+# canonical page, drop the scrapes). Authority here is PageRank
+# (Brin-Page 1998) over the MinHash-band similarity graph: nodes are
+# documents, edges are banded LSH candidate pairs (the same capped
+# bucket explosion as the recall panel, so edge count stays ~linear in
+# corpus size). Two Lloyd-style synchronous iterations, each ONE
+# shuffle on the edge key — the same bounded-iteration shape as the
+# connected-components resolver (which localCheckpoints lineage for
+# deeper runs). Ranks round to PR_ROUND decimals each iteration, so
+# both engines iterate on bit-identical values regardless of their
+# per-group summation order. Teleport and damping constants are
+# embedded from the same Python floats on both sides (1 - 0.85 is NOT
+# the double 0.15 — reusing the literal would diverge the engines).
+PR_DAMPING = 0.85
+PR_TELEPORT = 1.0 - PR_DAMPING
+PR_ITERS = 2
+PR_TOP = 16
+PR_ROUND = 9
+
+
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_TOP authority documents of the near-dup graph:
+    (rank, doc_id, pr, degree). Isolated documents hold the pure
+    teleport rank and are excluded from the panel (they have no dedup
+    decision to win). The final top-K is a distributed TakeOrdered +
+    a statistics-sized re-rank, the kNN pattern."""
+    import pyarrow.parquet as pq
+
+    from . import table_path
+    from pyspark.sql import Window
+
+    n_docs = pq.ParquetFile(table_path(sf_dir, "documents")).metadata.num_rows
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", "m0", "m1")).alias("b0"),
+        F.md5(F.concat_ws("|", "m2", "m3")).alias("b1"),
+    ).selectExpr("doc_id", "stack(2, 0, b0, 1, b1) as (band, bucket)")
+    cand = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= LSH_RECALL_MAX_BUCKET))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> transform("
+                    "slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS d1, y AS d2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.d1", "p.d2")
+        .distinct()
+    )
+    edges = cand.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).union(cand.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # materialize the edge table ONCE and truncate lineage (the CC
+    # resolver's localCheckpoint pattern): every iteration and the
+    # final degree join otherwise re-derives signatures -> bands ->
+    # pairs from the corpus, multiplying the exchange count by the
+    # reference count (measured: 59 exchanges without, 7 with)
+    out_edges = edges.join(deg, "src").localCheckpoint()
+    degs = out_edges.groupBy(F.col("src").alias("doc")).agg(
+        F.max("deg").alias("deg")
+    )
+    r0 = round(1.0 / n_docs, PR_ROUND)
+    ranks = degs.select("doc", F.lit(r0).alias("r"))
+    base = PR_TELEPORT / n_docs
+    for _ in range(PR_ITERS):
+        contrib = out_edges.join(
+            ranks, out_edges["src"] == ranks["doc"]
+        ).select("dst", (F.col("r") / F.col("deg")).alias("c"))
+        ranks = contrib.groupBy(F.col("dst").alias("doc")).agg(
+            F.round(F.lit(base) + F.lit(PR_DAMPING) * F.sum("c"), PR_ROUND).alias("r")
+        )
+    top = ranks.join(degs.withColumnRenamed("doc", "ddoc"), ranks["doc"] == F.col("ddoc")).select(
+        ranks["doc"].alias("doc_id"), "r", "deg"
+    ).orderBy(F.desc("r"), "doc_id").limit(PR_TOP)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("r"), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+        "doc_id",
+        F.col("r").alias("pr"),
+        F.col("deg").alias("degree"),
+    )
+
+
+def _pagerank_sql() -> str:
+    it = f"""
+SELECT e.dst AS doc,
+       round({PR_TELEPORT!r} / n.n + {PR_DAMPING!r} * sum(r.r / e.deg), {PR_ROUND}) AS r
+FROM oedges e JOIN {{prev}} r ON e.src = r.doc CROSS JOIN n
+GROUP BY e.dst, n.n
+"""
+    return f"""
+WITH {_ORACLE_LSH_CAND_CTES},
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM cand
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM cand
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+oedges AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+n AS (SELECT count(*) AS n FROM documents),
+r0 AS (SELECT src AS doc, round(1.0 / n.n, {PR_ROUND}) AS r FROM deg CROSS JOIN n),
+r1 AS ({it.format(prev="r0")}),
+r2 AS ({it.format(prev="r1")}),
+top AS (
+  SELECT r2.doc AS doc_id, r2.r, d.deg
+  FROM r2 JOIN deg d ON r2.doc = d.src
+  ORDER BY r2.r DESC, doc_id LIMIT {PR_TOP}
+)
+SELECT CAST(row_number() OVER (ORDER BY r DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, r AS pr, deg AS degree
+FROM top
+"""
+
+
+# the banded candidate-pair CTEs, same construction as the recall
+# panel's oracle (self-join inside capped buckets)
+_ORACLE_LSH_CAND_CTES = f"""sig AS ({_minhash_sql()}),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(concat(m0, '|', m1)) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(concat(m2, '|', m3)) AS bucket FROM sig
+),
+ok_cand AS (
+  SELECT band, bucket FROM bands GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND {LSH_RECALL_MAX_BUCKET}
+),
+bf AS (SELECT bands.* FROM bands JOIN ok_cand USING (band, bucket)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bf a JOIN bf b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+
+EXTRA_QUERIES["neardup_pagerank"] = q_neardup_pagerank
+EXTRA_ORACLES["neardup_pagerank"] = _pagerank_sql()

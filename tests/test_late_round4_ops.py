@@ -127,3 +127,20 @@ def test_touch_attribution_invariants(spark):
         assert r["linear_credit_ppm"] <= r["n_conversions"] * 1_000_000
     total_ppm = sum(r["linear_credit_ppm"] for r in rows.values())
     assert n_conv_first * 900_000 < total_ppm <= n_conv_first * 1_000_000
+
+
+def test_neardup_pagerank_panel(spark):
+    from ocr_service_spark.ops.dedup import PR_TOP, q_neardup_pagerank
+
+    rows = q_neardup_pagerank(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= PR_TOP
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    prs = [r["pr"] for r in rows]
+    # ranked descending, all positive, all connected (degree >= 1)
+    assert prs == sorted(prs, reverse=True)
+    assert all(p > 0 for p in prs)
+    assert all(r["degree"] >= 1 for r in rows)
+    # authority concentrates: the top doc must beat the uniform start
+    # rank 1/N, else the graph contributed nothing
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert prs[0] > 1.0 / n_docs

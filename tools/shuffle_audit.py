@@ -47,6 +47,7 @@ AUDIT = {
     "pmi_cooccurrence": "documents",       # row-local skipgram pairs
     "doc_chunks": "documents",             # pure projection: zero-shuffle
     "source_overlap_matrix": "documents",  # banded pairs -> source matrix (r4)
+    "neardup_pagerank": "documents",       # capped-band edges, 1 shuffle/iter (r4)
     "minhash_lsh_recall": "documents",     # capped truth + capped candidates (r4)
     "quality_signal_corr": "documents",    # fixed-width moment summary (r4)
     "priority_sample": "documents",        # TakeOrdered top-(k+1), no global sort (r4)
