@@ -1669,6 +1669,11 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.unix_timestamp("ts") / W) * W).cast("long").alias("bucket"),
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
+    # ONE corpus scan: the (type x bucket) summary is materialized via
+    # localCheckpoint, and bounds + the type list derive from IT (every
+    # event lands in some summary cell, so min/max/distinct agree with
+    # the raw stream) — without this, bounds and types would each
+    # re-scan the events parquet
     actual = (
         ev.groupBy("event_type", "bucket")
         .agg(
@@ -1676,14 +1681,15 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sum_value_cents"),
         )
         .withColumn("av", F.expr("sum_value_cents DIV n_events"))
+        .localCheckpoint()
     )
-    bounds = ev.agg(
+    bounds = actual.agg(
         F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
     )
     cal = bounds.select(
         F.explode(F.sequence("mn", "mx", F.lit(W))).alias("bucket")
     )
-    types = ev.select("event_type").distinct()
+    types = actual.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(cal))
     j = grid.join(actual, ["event_type", "bucket"], "left")
     locf = F.last("av", ignorenulls=True).over(
@@ -1819,7 +1825,7 @@ WITH ev AS (
 conv AS (SELECT user_id, event_id AS conv_id, es AS ces FROM ev
          WHERE event_type = '{ATTR_CONV_TYPE}'),
 touch AS (SELECT user_id, event_id AS tid, event_type AS touch_type, es AS tes
-          FROM ev WHERE event_type IN ('click', 'view')),
+          FROM ev WHERE event_type IN {ATTR_TOUCH_TYPES!r}),
 pairs AS (
   SELECT c.conv_id, t.touch_type, t.tes, t.tid
   FROM conv c JOIN touch t

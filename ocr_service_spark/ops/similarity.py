@@ -1486,9 +1486,14 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter((F.col("vec_id") % DECON_MOD) == 0)
         .orderBy("vec_id")
         .limit(DECON_PANEL_MAX)
-        .select(_as_double("embedding").alias("v"))
+        .select("vec_id", _as_double("embedding").alias("v"))
         .collect()
     )
+    # exclude exactly the PANEL members from the corpus — not the whole
+    # vec_id % DECON_MOD stratum: beyond the panel cap those vectors are
+    # ordinary corpus rows and MUST be screened (an unscreened stratum
+    # would silently pass contaminated vectors at scale)
+    panel_ids = [int(r["vec_id"]) for r in panel_rows]
     pmat = np.array([r["v"] for r in panel_rows], dtype=np.float64)
     pnorm = np.sqrt((pmat * pmat).sum(axis=1))
 
@@ -1502,7 +1507,7 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.Series(np.round(cos, 6).max(axis=1))
 
-    corpus = emb.filter((F.col("vec_id") % DECON_MOD) != 0).select(
+    corpus = emb.filter(~F.col("vec_id").isin(panel_ids)).select(
         "label", _as_double("embedding").alias("v")
     )
     scored = corpus.select("label", max_panel_cos("v").alias("mc"))
@@ -1521,7 +1526,8 @@ WITH e AS (
   FROM embeddings
 ),
 p AS (
-  SELECT v AS pv, sqrt(list_sum(list_transform(v, x -> x * x))) AS pn
+  SELECT vec_id AS pid, v AS pv,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS pn
   FROM e WHERE vec_id % {DECON_MOD} = 0 ORDER BY vec_id LIMIT {DECON_PANEL_MAX}
 ),
 scored AS (
@@ -1529,7 +1535,7 @@ scored AS (
          max(round(list_sum(list_transform(list_zip(e.v, p.pv), q -> q[1] * q[2]))
              / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * p.pn), 6)) AS mc
   FROM e CROSS JOIN p
-  WHERE e.vec_id % {DECON_MOD} != 0
+  WHERE e.vec_id NOT IN (SELECT pid FROM p)
   GROUP BY 1, 2
 )
 SELECT label, count(*) AS n_vectors,

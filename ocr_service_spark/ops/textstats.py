@@ -1172,6 +1172,7 @@ EXTRA_ORACLES["doc_chunks"] = _ORACLE_CHUNKS
 # cancel), so Spark's corr and DuckDB's corr agree up to summation-
 # order ulps, absorbed by rounding.
 _CORR_SIGNALS = ("chars", "tokens", "uniq_tokens", "stop_hits")
+CORR_UNDEFINED = -2.0  # zero-variance sentinel (Pearson r is in [-1, 1])
 
 
 def q_quality_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,13 +1193,29 @@ def q_quality_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     for i, a in enumerate(_CORR_SIGNALS):
         for b in _CORR_SIGNALS[i + 1:]:
-            aggs.append(F.round(F.corr(a, b), 5).alias(f"corr_{a}_{b}"))
+            # Pearson r as try_divide of co-moments, NOT F.corr: under
+            # ANSI mode (the Spark 4 default) corr THROWS DIVIDE_BY_ZERO
+            # on a zero-variance signal; try_divide yields NULL there,
+            # mapped to the CORR_UNDEFINED sentinel on both engines
+            # (outside [-1, 1]; NULL doubles would surface as NaN via
+            # the driver's pandas fetch). The ratio is identical to corr
+            # up to summation-order ulps — absorbed by the rounding.
+            c = F.round(
+                F.try_divide(
+                    F.covar_samp(a, b), F.stddev_samp(a) * F.stddev_samp(b)
+                ),
+                5,
+            )
+            aggs.append(
+                F.coalesce(c, F.lit(CORR_UNDEFINED)).alias(f"corr_{a}_{b}")
+            )
     return sig.agg(*aggs)
 
 
 def _corr_sql() -> str:
     pairs = ",\n       ".join(
-        f"round(corr({a}, {b}), 5) AS corr_{a}_{b}"
+        f"coalesce(CASE WHEN isnan(corr({a}, {b})) THEN NULL"
+        f" ELSE round(corr({a}, {b}), 5) END, {CORR_UNDEFINED}) AS corr_{a}_{b}"
         for i, a in enumerate(_CORR_SIGNALS)
         for b in _CORR_SIGNALS[i + 1:]
     )
@@ -1296,7 +1313,7 @@ WITH w AS (
 ),
 q AS (SELECT doc_id, w, (CAST(w AS DOUBLE) * {_PS_2_52!r}) / (CAST(h AS DOUBLE) + 1.0) AS q FROM w),
 ranked AS (SELECT doc_id, w, q, row_number() OVER (ORDER BY q DESC, doc_id) AS rn FROM q),
-tau AS (SELECT q AS tau FROM ranked WHERE rn = {PS_K} + 1),
+tau AS (SELECT coalesce((SELECT q FROM ranked WHERE rn = {PS_K} + 1), 0.0) AS tau),
 samp AS (
   SELECT doc_id, CAST(w AS BIGINT) AS w,
          round(greatest(CAST(w AS DOUBLE), tau), 4) AS w_hat
