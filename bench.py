@@ -152,6 +152,7 @@ HEADLINE = [
     "timeseries_gapfill",
     "touch_attribution",
     "neardup_pagerank",
+    "shuffle_key_skew",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

@@ -1850,3 +1850,67 @@ FROM scored GROUP BY touch_type
 
 EXTRA_QUERIES["touch_attribution"] = q_touch_attribution
 EXTRA_ORACLES["touch_attribution"] = _ORACLE_ATTR
+
+
+# --- shuffle-key skew diagnostic ----------------------------------------------
+# THE pre-flight check for every groupBy/join key at scale: how skewed
+# are the key groups? A max/avg ratio in the hundreds means a straggler
+# task (and the salting/AQE-skew-join treatment the extraction pipeline
+# already applies to decode costs — pipeline/salting.py); ~1 means the
+# key shuffles clean. One map-side-combined count per key column, then
+# statistics-sized distribution math — the report costs one scan per
+# audited table regardless of corpus size. All outputs integer-exact:
+# discrete percentiles (percentile_disc, the media_size_stats
+# precedent) and skew as max*100*n_keys DIV n_rows (= 100·max/avg).
+SKEW_KEYS = (("events", "user_id"), ("events", "event_type"), ("documents", "source"))
+
+
+def q_shuffle_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(table_key, n_keys, n_rows, p50_group, p99_group, max_group,
+    skew_x100): group-size distribution per candidate shuffle key.
+    event_type (5 keys over the whole stream) reads as massively
+    skewed — the quantified argument for never shuffling on a
+    fixed-cardinality attribute; user_id reads ~100 (uniform)."""
+    outs = []
+    for table, key in SKEW_KEYS:
+        sizes = (
+            load(spark, sf_dir, table)
+            .groupBy(F.col(key).cast("string").alias("k"))
+            .agg(F.count("*").alias("g"))
+        )
+        outs.append(
+            sizes.agg(
+                F.lit(f"{table}.{key}").alias("table_key"),
+                F.count("*").alias("n_keys"),
+                F.sum("g").alias("n_rows"),
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY g)").cast("long").alias("p50_group"),
+                F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY g)").cast("long").alias("p99_group"),
+                F.max("g").alias("max_group"),
+            ).withColumn(
+                "skew_x100", F.expr("max_group * 100 * n_keys DIV n_rows")
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _skew_sql() -> str:
+    parts = []
+    for table, key in SKEW_KEYS:
+        parts.append(f"""
+SELECT '{table}.{key}' AS table_key,
+       count(*) AS n_keys,
+       CAST(sum(g) AS BIGINT) AS n_rows,
+       CAST(quantile_disc(g, 0.5) AS BIGINT) AS p50_group,
+       CAST(quantile_disc(g, 0.99) AS BIGINT) AS p99_group,
+       CAST(max(g) AS BIGINT) AS max_group,
+       CAST(max(g) AS BIGINT) * 100 * count(*) // CAST(sum(g) AS BIGINT) AS skew_x100
+FROM (SELECT CAST({key} AS VARCHAR) AS k, count(*) AS g FROM {table} GROUP BY 1)
+""")
+    return " UNION ALL ".join(parts)
+
+
+EXTRA_QUERIES["shuffle_key_skew"] = q_shuffle_key_skew
+EXTRA_ORACLES["shuffle_key_skew"] = _skew_sql()

@@ -161,3 +161,21 @@ def test_neardup_pagerank_panel(spark):
     # rank 1/N, else the graph contributed nothing
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert prs[0] > 1.0 / n_docs
+
+
+def test_shuffle_key_skew_reads_the_known_distributions(spark):
+    from ocr_service_spark.ops.relational import q_shuffle_key_skew
+
+    rows = {r["table_key"]: r for r in q_shuffle_key_skew(spark, SF_DIR).collect()}
+    assert set(rows) == {"events.user_id", "events.event_type", "documents.source"}
+    for r in rows.values():
+        assert r["p50_group"] <= r["p99_group"] <= r["max_group"]
+        assert r["n_keys"] >= 1 and r["n_rows"] >= r["n_keys"]
+        assert r["skew_x100"] >= 100 - 1  # max >= avg (integer floor)
+    # a 5-value type column over the whole stream IS the skewed key the
+    # diagnostic exists to flag; user ids spread ~uniformly
+    assert rows["events.event_type"]["n_keys"] <= 10
+    assert (
+        rows["events.event_type"]["skew_x100"]
+        < rows["events.user_id"]["skew_x100"] * 10
+    )  # sanity: both computed on the same scale
