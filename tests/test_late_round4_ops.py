@@ -179,3 +179,24 @@ def test_shuffle_key_skew_reads_the_known_distributions(spark):
         rows["events.event_type"]["skew_x100"]
         < rows["events.user_id"]["skew_x100"] * 10
     )  # sanity: both computed on the same scale
+
+
+def test_percentile_disc_rule_matches_duckdb(spark):
+    """shuffle_key_skew's oracle depends on Spark percentile_disc and
+    DuckDB quantile_disc picking the SAME discrete element; pin the
+    index rule on adversarial group counts (boundary Ns around the
+    0.99 crossing and the tiny counts where off-by-one shows)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (1, 2, 3, 4, 5, 10, 50, 99, 100, 101):
+        sdf = spark.createDataFrame([(v,) for v in range(1, n + 1)], "g long")
+        srow = sdf.selectExpr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY g) AS p50",
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY g) AS p99",
+        ).collect()[0]
+        drow = con.execute(
+            f"SELECT quantile_disc(g, 0.5), quantile_disc(g, 0.99)"
+            f" FROM (SELECT unnest(range(1, {n + 1})) AS g)"
+        ).fetchone()
+        assert (srow["p50"], srow["p99"]) == (drow[0], drow[1]), n
