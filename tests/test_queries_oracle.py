@@ -71,6 +71,19 @@ def test_registry_consistency():
     assert names.index("source_overlap_matrix") < 50
     assert names.index("minhash_lsh_recall") < 50
     assert len(_ROUND4_HEAD) <= 50
+    # the general rotation invariant, data-driven: any registered query
+    # that has NO row in any historical driver CORRECTNESS report must
+    # occupy one of the first 50 slots (the driver's report window) —
+    # otherwise it can never earn a hard-signal row.
+    import glob
+    import json
+
+    reported: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            reported |= set(json.load(fh))
+    stranded = [n for n in names[50:] if n not in reported]
+    assert stranded == [], f"never-reported queries outside slots 1-50: {stranded}"
 
 
 def test_similarity_cache_eviction(spark):
