@@ -84,7 +84,7 @@ def run_resumable(
         return {"processed_docs": 0, "processed_buckets": 0}
 
     details_out: list = []
-    output, _metrics = run_extract(spark, todo, media, cfg, details_out=details_out)
+    output, metrics = run_extract(spark, todo, media, cfg, details_out=details_out)
     output_b = output.withColumn("bucket", bucket_expr(n_buckets))
 
     if use_iceberg:
@@ -161,11 +161,41 @@ def run_resumable(
             .parquet(f"{out_dir}/recognitions")
         )
 
+    # per-OCR-partition metrics sideband (north rule: "lineage + per-
+    # partition metrics (docs, spans, OCR chars, model latency)"): one
+    # row per LPT media partition with its blob count, OCR chars and
+    # kernel wall (p50/max/sum). The sum is the quantity the LPT cost
+    # packer balances, so max/avg over partitions is the measured
+    # straggler-balance evidence for this run. Cheap: the OCR results
+    # are persisted, so this action re-reads the cache, not the blobs.
+    metrics_rows = metrics.withColumn("run_id", F.lit(cfg.run_id))
+    metrics_rows.write.mode("append").parquet(f"{out_dir}/_metrics")
+    bal = (
+        metrics_rows.filter(F.col("kernel_ms_sum").isNotNull())
+        .agg(
+            F.max("kernel_ms_sum").alias("mx"),
+            F.avg("kernel_ms_sum").alias("avg"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    ocr_balance = (
+        round(float(bal["mx"]) / float(bal["avg"]), 3)
+        if bal["n"] and bal["avg"]
+        else None
+    )
+
     stats = todo.agg(
         F.count("*").alias("d"), F.countDistinct("bucket").alias("b")
     ).collect()[0]
     release_persisted()  # all actions done — drop the run's OCR-result cache
-    return {"processed_docs": stats["d"], "processed_buckets": stats["b"]}
+    return {
+        "processed_docs": stats["d"],
+        "processed_buckets": stats["b"],
+        "ocr_partitions": bal["n"],
+        # max/avg of per-partition kernel wall: 1.0 = perfectly balanced
+        "ocr_partition_balance": ocr_balance,
+    }
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:

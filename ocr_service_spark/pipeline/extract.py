@@ -44,7 +44,7 @@ _BRANCH_COLS = ["doc_id", "order", "kind", "text", "media_ref"]
 _MEDIA_RESULT_SCHEMA = (
     "media_ref string, kind string, text string, row_type string, "
     "part_id int, n_blobs long, ocr_chars long, "
-    "kernel_ms_p50 double, kernel_ms_max double, "
+    "kernel_ms_p50 double, kernel_ms_max double, kernel_ms_sum double, "
     "status string, engine string, confidence double, "
     "used_preprocessed boolean, qr_data string, qr_format string, "
     "qr_location struct<x:int,y:int,width:int,height:int>, "
@@ -207,11 +207,14 @@ def _make_media_fn(cfg: ExtractConfig):
                     "ocr_chars": None,
                     "kernel_ms_p50": None,
                     "kernel_ms_max": None,
+                    "kernel_ms_sum": None,
                     **details,
                 }
             )
         # metrics sideband row — per-partition lineage (north rule), the
-        # batch analog of the reference event stream (events/map.ts:16-43)
+        # batch analog of the reference event stream (events/map.ts:16-43);
+        # kernel_ms_sum is the partition's total model/kernel wall, the
+        # number the LPT cost packer balances (straggler evidence)
         ms = sorted(kernel_ms)
         yield pd.DataFrame(
             {
@@ -224,6 +227,7 @@ def _make_media_fn(cfg: ExtractConfig):
                 "ocr_chars": [ocr_chars],
                 "kernel_ms_p50": [ms[len(ms) // 2] if ms else None],
                 "kernel_ms_max": [ms[-1] if ms else None],
+                "kernel_ms_sum": [round(sum(ms), 3) if ms else None],
                 **{k: [None] for k in _DETAIL_KEYS},
             }
         )
@@ -308,6 +312,7 @@ def _make_direct_media_fn(cfg: ExtractConfig):
                             "ocr_chars": None,
                             "kernel_ms_p50": None,
                             "kernel_ms_max": None,
+                            "kernel_ms_sum": None,
                             **details,
                         }
                     )
@@ -323,6 +328,7 @@ def _make_direct_media_fn(cfg: ExtractConfig):
                 "ocr_chars": [ocr_chars],
                 "kernel_ms_p50": [ms[len(ms) // 2] if ms else None],
                 "kernel_ms_max": [ms[-1] if ms else None],
+                "kernel_ms_sum": [round(sum(ms), 3) if ms else None],
                 **{k: [None] for k in _DETAIL_KEYS},
             }
         )
@@ -613,7 +619,8 @@ def _media_branch(
         "media_ref", "kind", "text"
     )
     metrics = results.filter(F.col("row_type") == "metrics").select(
-        "part_id", "n_blobs", "ocr_chars", "kernel_ms_p50", "kernel_ms_max"
+        "part_id", "n_blobs", "ocr_chars",
+        "kernel_ms_p50", "kernel_ms_max", "kernel_ms_sum",
     )
     # full recognition record per blob (reference recognition_results,
     # schema.ts:31-58) — written by run_resumable as recognitions/
@@ -649,7 +656,7 @@ def run_extract(
 
     output  — (doc_id, spans ARRAY<STRUCT<kind,text,media_ref,order>>)
     metrics — per-OCR-partition lineage rows (part_id, n_blobs, ocr_chars,
-              kernel_ms_p50, kernel_ms_max)
+              kernel_ms_p50, kernel_ms_max, kernel_ms_sum)
 
     Pass a list as ``details_out`` to also receive the per-blob
     recognition record frame (status/engine/confidence/QR fields/error/

@@ -110,6 +110,45 @@ def test_recognitions_table_written(spark, dataset, tmp_path):
     assert rec.filter(F.col("attempt_number") != 1).count() == 0
 
 
+def test_metrics_sideband_written_with_balance(spark, dataset, tmp_path):
+    """run_resumable persists the per-OCR-partition metrics sideband
+    (north rule: "lineage + per-partition metrics (docs, spans, OCR
+    chars, model latency)") and the job summary carries the measured
+    LPT straggler balance (max/avg of per-partition kernel wall)."""
+    data_dir = os.path.dirname(dataset["documents"])
+    docs, media = load_inputs(spark, data_dir)
+    out_dir = str(tmp_path / "metrics-run")
+    s = run_resumable(
+        spark, docs, media, out_dir, ExtractConfig(run_id="m1"), n_buckets=N_BUCKETS
+    )
+    m = spark.read.parquet(f"{out_dir}/_metrics").filter(F.col("run_id") == "m1")
+    worked = m.filter(F.col("kernel_ms_sum").isNotNull())
+    assert worked.count() == s["ocr_partitions"] > 0
+    # every blob is counted exactly once across partitions
+    assert worked.agg(F.sum("n_blobs")).collect()[0][0] == media.count()
+    # latency stats are internally consistent: p50 <= max <= sum
+    bad = worked.filter(
+        (F.col("kernel_ms_p50") > F.col("kernel_ms_max"))
+        | (F.col("kernel_ms_max") > F.col("kernel_ms_sum"))
+    )
+    assert bad.count() == 0
+    # balance = max/avg of kernel_ms_sum, >= 1.0 by construction
+    assert s["ocr_partition_balance"] >= 1.0
+    sums = [r["kernel_ms_sum"] for r in worked.collect()]
+    assert abs(s["ocr_partition_balance"] - max(sums) / (sum(sums) / len(sums))) < 0.01
+    # a resume with nothing to do writes no new metrics rows
+    s2 = run_resumable(
+        spark, docs, media, out_dir, ExtractConfig(run_id="m2"), n_buckets=N_BUCKETS
+    )
+    assert s2["processed_docs"] == 0
+    assert (
+        spark.read.parquet(f"{out_dir}/_metrics")
+        .filter(F.col("run_id") == "m2")
+        .count()
+        == 0
+    )
+
+
 def test_recognitions_no_duplicates_on_partial_resume(spark, dataset, tmp_path):
     """A partial resume re-extracts the whole media table (documented
     corollary) but must append recognition records ONLY for the buckets

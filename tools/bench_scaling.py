@@ -71,7 +71,13 @@ def worker(cores: int, data_dir: str, warmup_dir: str) -> None:
     output, metrics = run_extract(spark, docs, media, ExtractConfig(run_id=f"scale-{cores}"))
     output.write.mode("overwrite").parquet(f"{out_tmp}/extracted")
     wall = time.time() - t0
-    ocr_chars = metrics.agg(F.sum("ocr_chars")).collect()[0][0] or 0
+    magg = metrics.agg(
+        F.sum("ocr_chars").alias("oc"),
+        F.max("kernel_ms_sum").alias("mx"),
+        F.avg("kernel_ms_sum").alias("avg"),
+        F.count(F.col("kernel_ms_sum")).alias("nb"),
+    ).collect()[0]
+    ocr_chars = magg["oc"] or 0
     n_docs = spark.read.parquet(f"{out_tmp}/extracted").count()
     shutil.rmtree(out_tmp, ignore_errors=True)
     print(
@@ -83,6 +89,14 @@ def worker(cores: int, data_dir: str, warmup_dir: str) -> None:
                 "docs_per_sec": round(n_docs / wall, 2),
                 "ocr_chars": int(ocr_chars),
                 "ocr_chars_per_sec": round(ocr_chars / wall, 1),
+                # LPT straggler balance, measured: max/avg per-partition
+                # kernel wall across the OCR (media) partitions
+                "ocr_partitions": int(magg["nb"]),
+                "ocr_partition_balance": (
+                    round(float(magg["mx"]) / float(magg["avg"]), 3)
+                    if magg["nb"] and magg["avg"]
+                    else None
+                ),
             }
         )
     )
