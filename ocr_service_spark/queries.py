@@ -234,6 +234,13 @@ FROM documents
 # counts...) demote to the tail — they stay verified by
 # tools/check_oracle.py + tests/test_queries_oracle.py either way, and
 # ORACLE_COVERAGE.md tracks the registered-vs-reported delta per round.
+#
+# From round 5 on the schedule is SELF-MAINTAINING (_rotation_order
+# below): once a CORRECTNESS report newer than r03 lands in the repo,
+# the head is computed from the report history — never-reported/failed
+# queries first, then stalest-green — so each new report automatically
+# rotates fresh queries into the 50-slot window with no hand edit.
+_REPORT_WINDOW = 50
 _ROUND4_HEAD = (
     # flagships: never lose these rows
     "extract_pipeline",
@@ -298,6 +305,63 @@ _ROUND4_HEAD = (
 )  # exactly 50 slots — the driver's report window; veterans follow
 
 
+def _row_clean(row: dict) -> bool:
+    """A driver CORRECTNESS row that needs no fresh slot: hash-green, or
+    a clean rows-only check (no oracle registered, no error)."""
+    if row.get("err"):
+        return False
+    if row.get("hash_match") is True:
+        return True
+    return row.get("hash_match") is None and row.get("rows_match") is not False
+
+
+def _report_history() -> dict[str, int]:
+    """name -> latest round with a clean driver row, from the committed
+    CORRECTNESS_r*.json artifacts (deterministic given the repo state)."""
+    import glob
+    import json
+    import re
+
+    last_ok: dict[str, int] = {}
+    latest_round = 0
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        latest_round = max(latest_round, rnd)
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and _row_clean(row):
+                last_ok[name] = max(last_ok.get(name, 0), rnd)
+    return {"__latest_round__": latest_round, **last_ok}
+
+
+def _rotation_order(names: list[str]) -> list[str]:
+    """Self-maintaining rotation: flagships pinned to slots 1-2, then all
+    remaining queries sorted by (latest clean driver row ascending,
+    registration order) — never-reported/failed first, stalest-green
+    next — so the driver's 50-row window always lands on the entries
+    with the weakest verification record. Active from the first report
+    newer than round 3; before that the hand-written round-4 schedule
+    (_ROUND4_HEAD) is authoritative so the planned round-4 rows land."""
+    history = _report_history()
+    if history.pop("__latest_round__") <= 3:
+        head = [n for n in _ROUND4_HEAD if n in names]
+        return head + [n for n in names if n not in set(head)]
+    pinned = [n for n in ("extract_pipeline", "structured_receipts") if n in names]
+    idx = {n: i for i, n in enumerate(names)}
+    rest = sorted(
+        (n for n in names if n not in pinned),
+        key=lambda n: (history.get(n, 0), idx[n]),
+    )
+    return pinned + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "extract_pipeline": extract_pipeline_query,
@@ -318,11 +382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q.update(packing.QUERIES)
     all_q.update(streaming.EXTRA_QUERIES)
     all_q.update(relational.EXTRA_QUERIES)
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND4_HEAD:
-        out[name] = all_q.pop(name)
-    out.update(all_q)  # demoted veterans keep their relative order
-    return out
+    order = _rotation_order(list(all_q))
+    return {name: all_q[name] for name in order}
 
 
 def _media_oracles() -> dict[str, str]:
