@@ -184,8 +184,10 @@ def coverage_md(report_path: str, out_path: str = "ORACLE_COVERAGE.md") -> int:
     lines += [
         "",
         f"Unreported this round: {len(missing)} "
-        "(rotate into the head of the registry next round if any have "
-        "never had a green driver row).",
+        "(rotation is self-maintaining: once a newer CORRECTNESS report "
+        "lands, `queries()` re-sorts the registry — never-reported/"
+        "failed first, then stalest-green — so these rotate into the "
+        "50-slot window automatically; see queries._rotation_order).",
         "",
     ]
     with open(out_path, "w") as fh:
