@@ -165,6 +165,28 @@ def _make_media_blob(
     # codec roundtrip.
     import hashlib
 
+    # pngc: COLOR truecolor PNG — a fixed deterministic channel tint of
+    # the same gray frame (no extra rng draws, so simg/png/pngc datasets
+    # share identical pixels, metadata and downstream rng state). The
+    # decoders reduce color frames via the cv2-exact Rec.601 transform
+    # (kernels/colorspace.bgr_to_gray), so the truth sidecar for pngc is
+    # computed from THAT gray view — the frame every kernel actually sees.
+    rgb = None
+    pixels_dec = pixels
+    if codec == "pngc":
+        from .kernels.colorspace import bgr_to_gray
+
+        f32 = pixels.astype(np.float32)
+        rgb = np.stack(
+            [
+                np.clip(np.rint(f32 * np.float32(1.08)), 0, 255),
+                f32,
+                np.clip(np.rint(f32 * np.float32(0.88)), 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        pixels_dec = bgr_to_gray(rgb[..., ::-1])
+
     yi = np.clip((np.arange(16) * h) // 16, 0, h - 1)
     xi = np.clip((np.arange(16) * w) // 16, 0, w - 1)
     # difference hash (dHash): 8x9 nearest-index subsample, bit = right
@@ -173,7 +195,7 @@ def _make_media_blob(
     # which must reproduce it through the codec roundtrip
     y8 = np.clip((np.arange(8) * h) // 8, 0, h - 1)
     x9 = np.clip((np.arange(9) * w) // 9, 0, w - 1)
-    g = pixels[np.ix_(y8, x9)].astype(np.int16)
+    g = pixels_dec[np.ix_(y8, x9)].astype(np.int16)
     dbits = (g[:, 1:] > g[:, :-1]).flatten()
     dval = 0
     for bit in dbits:
@@ -181,11 +203,15 @@ def _make_media_blob(
     truth = {
         "width": w,
         "height": h,
-        "mean_brightness": round(float(pixels.mean()), 4),
-        "n_pixels": int(pixels.size),
-        "thumb_md5": hashlib.md5(pixels[np.ix_(yi, xi)].tobytes()).hexdigest(),
+        "mean_brightness": round(float(pixels_dec.mean()), 4),
+        "n_pixels": int(pixels_dec.size),
+        "thumb_md5": hashlib.md5(pixels_dec[np.ix_(yi, xi)].tobytes()).hexdigest(),
         "dhash": f"{dval:016x}",
     }
+    if codec == "pngc":  # real COLOR-image path: LAB-channel CLAHE front end
+        from .kernels.media import encode_png_gray
+
+        return encode_png_gray(rgb), truth
     if codec == "png":  # real-image path (generate() docstring); the
         # codec switch happens after every rng draw, so simg/png datasets
         # share identical pixels, metadata and downstream rng state
@@ -201,6 +227,7 @@ def generate(
     seed: int = 42,
     media_scale: int = 1,
     png_media: int = 0,
+    png_color: int = 0,
 ) -> dict[str, str]:
     """Generate documents/media/golden parquet under ``out_dir``.
 
@@ -216,7 +243,15 @@ def generate(
     documented failed media_text span with NULL text, with them it
     completes with engine text — either way Spark must match. The
     media_truth sidecar marks these rows codec='png' and carries their
-    real decode ground truth."""
+    real decode ground truth.
+
+    png_color > 0 (≤ png_media) makes the first N of those PNG blobs
+    COLOR truecolor PNGs (codec='pngc' in media_truth): their spans
+    exercise the color front end — decode_real_image_any → dark-invert
+    on the gray mean → the reference's LAB-channel CLAHE illumination
+    chain (kernels/colorspace.py) — before the shared mask/warp/OCR
+    stages. Truth for pngc rows is computed from the Rec.601 gray view
+    the kernels decode to."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -251,7 +286,12 @@ def generate(
             offset = int(offsets[slot])
             if kind == "media":
                 ref = f"mem://img/{seed}/{media_idx:08d}"
-                codec = "png" if media_idx < png_media else "simg"
+                if media_idx < png_color:
+                    codec = "pngc"
+                elif media_idx < png_media:
+                    codec = "png"
+                else:
+                    codec = "simg"
                 blob, truth = _make_media_blob(
                     rng, media_idx, heavy, media_scale, codec
                 )
@@ -339,6 +379,7 @@ def ensure_dataset(
     seed: int = 42,
     media_scale: int = 1,
     png_media: int = 0,
+    png_color: int = 0,
 ) -> dict[str, str]:
     """Generate once, reuse across test sessions (content is a pure
     function of (n_docs, seed), so presence implies validity)."""
@@ -349,7 +390,8 @@ def ensure_dataset(
     marker = os.path.join(
         out_dir,
         f".complete-v7-{n_docs}-{seed}-{media_scale}"
-        + (f"-png{png_media}" if png_media else ""),
+        + (f"-png{png_media}" if png_media else "")
+        + (f"-pngc{png_color}" if png_color else ""),
     )
     paths = {
         "documents": os.path.join(out_dir, "documents.parquet"),
@@ -359,7 +401,7 @@ def ensure_dataset(
     }
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
         return paths
-    paths = generate(out_dir, n_docs, seed, media_scale, png_media)
+    paths = generate(out_dir, n_docs, seed, media_scale, png_media, png_color)
     with open(marker, "w") as fh:
         fh.write("ok")
     return paths
@@ -374,5 +416,10 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--media-scale", type=int, default=1)
     ap.add_argument("--png-media", type=int, default=0)
+    ap.add_argument("--png-color", type=int, default=0)
     a = ap.parse_args()
-    print(generate(a.out_dir, a.n_docs, a.seed, a.media_scale, a.png_media))
+    print(
+        generate(
+            a.out_dir, a.n_docs, a.seed, a.media_scale, a.png_media, a.png_color
+        )
+    )

@@ -793,14 +793,22 @@ def ensure_receipt_shape(polygon: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return polygon
 
 
-def classic_align_corners(working: np.ndarray) -> np.ndarray:
+def classic_align_corners(
+    working: np.ndarray, pre: np.ndarray | None = None
+) -> np.ndarray:
     """The full classic chain P3-P8 on an (already dark-inverted)
     grayscale frame → 4 unordered corner points (aligner.py:58-175):
     CLAHE → seed → flood-fill mask → polygon → minAreaRect. The FINAL
     corners are always the min-area rectangle of the polygon
     (aligner.py:174-175). Raises when no contour exists (the reference
-    aligner throws and the gateway falls back locally, P14)."""
-    pre = preprocess_illumination(working)
+    aligner throws and the gateway falls back locally, P14).
+
+    ``pre`` overrides the internal grayscale P3 with a precomputed
+    illumination-equalized frame — the color path hands in the luminance
+    of the LAB-channel CLAHE chain (kernels/colorspace.py), matching the
+    reference's CLAHE-on-L-of-LAB for color inputs."""
+    if pre is None:
+        pre = preprocess_illumination(working)
     seed = find_best_seed_point(pre)
     mask = find_check_mask(pre, seed)
     polygon = mask_to_polygon(mask, SIMPLIFY_PERCENT)

@@ -35,7 +35,7 @@ from ..config import (
     KERNEL_TIMEOUT_S,
     MAX_MEDIA_BYTES,
 )
-from . import align, imageops, neural
+from . import align, colorspace, imageops, neural
 
 SIMG_MAGIC = b"SIMG1\n"
 
@@ -381,14 +381,16 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def encode_png_gray(pixels: np.ndarray) -> bytes:
-    """Minimal REAL PNG encoder (8-bit grayscale, filter 0, one IDAT) —
-    stdlib-only (zlib + struct), so tests and datagen can emit genuine
-    PNG bytes in containers without PIL/cv2. The output opens in any
-    viewer/decoder."""
+    """Minimal REAL PNG encoder (8-bit grayscale or RGB truecolor,
+    filter 0, one IDAT) — stdlib-only (zlib + struct), so tests and
+    datagen can emit genuine PNG bytes in containers without PIL/cv2.
+    A 3-D (H, W, 3) input is written as color type 2 (RGB, channel
+    order as stored). The output opens in any viewer/decoder."""
     import struct
     import zlib
 
-    h, w = pixels.shape
+    h, w = pixels.shape[:2]
+    color_type = 2 if pixels.ndim == 3 else 0
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -398,7 +400,7 @@ def encode_png_gray(pixels: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no interlace
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
     return (
         PNG_MAGIC
@@ -408,11 +410,12 @@ def encode_png_gray(pixels: np.ndarray) -> bytes:
     )
 
 
-def _decode_png_gray(blob: bytes) -> np.ndarray:
-    """Pure-python PNG decoder for the 8-bit grayscale non-interlaced
-    subset (full filter support per the PNG spec §9): the zero-dependency
-    fallback codec behind decode_real_image, so the real-image pipeline
-    path is exercisable without PIL/cv2."""
+def _decode_png(blob: bytes) -> np.ndarray:
+    """Pure-python PNG decoder for the 8-bit grayscale (color type 0)
+    and RGB truecolor (color type 2) non-interlaced subsets, full filter
+    support per the PNG spec §9: the zero-dependency fallback codec
+    behind decode_real_image, so the real-image pipeline path is
+    exercisable without PIL/cv2. Returns (H, W) gray or (H, W, 3) RGB."""
     import struct
     import zlib
 
@@ -434,7 +437,7 @@ def _decode_png_gray(blob: bytes) -> np.ndarray:
         if ihdr is None or not idat:
             raise ValueError("truncated PNG")
         w, h, depth, color, _comp, _filt, interlace = ihdr
-        if depth != 8 or color != 0 or interlace != 0:
+        if depth != 8 or color not in (0, 2) or interlace != 0:
             raise ValueError(
                 f"unsupported PNG variant (depth={depth} color={color} "
                 f"interlace={interlace}); install PIL/cv2 for full codec support"
@@ -444,32 +447,37 @@ def _decode_png_gray(blob: bytes) -> np.ndarray:
         # Corrupt bytes past the magic check must surface as ValueError so
         # extract_media_span's failed-span guard catches them (never a crash).
         raise ValueError(f"corrupt PNG bytes: {exc}") from exc
-    if len(raw) != h * (w + 1):
+    ch = 3 if color == 2 else 1
+    rb = w * ch  # filtered row payload bytes; predictors step by ch (=bpp)
+    if len(raw) != h * (rb + 1):
         raise ValueError("PNG payload size mismatch")
-    out = np.zeros((h, w), dtype=np.uint8)
-    prev = np.zeros(w, dtype=np.int32)
+    out = np.zeros((h, rb), dtype=np.uint8)
+    prev = np.zeros(rb, dtype=np.int32)
     for r in range(h):
-        ftype = raw[r * (w + 1)]
+        ftype = raw[r * (rb + 1)]
         row = np.frombuffer(
-            raw, np.uint8, count=w, offset=r * (w + 1) + 1
+            raw, np.uint8, count=rb, offset=r * (rb + 1) + 1
         ).astype(np.int32)
         if ftype == 0:  # None
             cur = row
         elif ftype == 1:  # Sub — mod-256 addition is associative: a cumsum
-            cur = np.cumsum(row, dtype=np.int64) & 0xFF
+            # per channel lane (the predictor references byte i - bpp)
+            cur = (
+                np.cumsum(row.reshape(w, ch), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(rb)
         elif ftype == 2:  # Up
             cur = (row + prev) & 0xFF
         elif ftype == 3:  # Average
             cur = row.copy()
-            cur[0] = (cur[0] + prev[0] // 2) & 0xFF
-            for i in range(1, w):
-                cur[i] = (cur[i] + (cur[i - 1] + prev[i]) // 2) & 0xFF
+            for i in range(rb):
+                a = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + (a + prev[i]) // 2) & 0xFF
         elif ftype == 4:  # Paeth
             cur = row.copy()
-            for i in range(w):
-                a = cur[i - 1] if i else 0
+            for i in range(rb):
+                a = cur[i - ch] if i >= ch else 0
                 b = prev[i]
-                c = prev[i - 1] if i else 0
+                c = prev[i - ch] if i >= ch else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -478,7 +486,20 @@ def _decode_png_gray(blob: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[r] = cur.astype(np.uint8)
         prev = cur
-    return out
+    return out.reshape(h, w, 3) if ch == 3 else out.reshape(h, w)
+
+
+def _decode_png_gray(blob: bytes) -> np.ndarray:
+    """Grayscale view of _decode_png (color frames reduce via the
+    cv2-exact Rec.601 fixed-point transform; PNG stores RGB, so flip to
+    BGR first)."""
+    arr = _decode_png(blob)
+    if arr.ndim == 3:
+        from . import colorspace
+
+        return colorspace.bgr_to_gray(arr[..., ::-1])
+    return arr
+
 
 
 def decode_real_image(blob: bytes) -> np.ndarray:
@@ -505,6 +526,38 @@ def decode_real_image(blob: bytes) -> np.ndarray:
     except ImportError:
         pass
     return _decode_png_gray(blob)
+
+
+def decode_real_image_any(blob: bytes) -> np.ndarray:
+    """P1 decode preserving color: (H, W) gray for single-channel
+    sources, (H, W, 3) BGR for color sources (cv2.imdecode IMREAD_COLOR
+    convention, aligner.py:144-152). Color frames let the alignment
+    front end run the reference's LAB-channel CLAHE
+    (kernels/colorspace.py) instead of the grayscale specialization."""
+    try:
+        import io
+
+        from PIL import Image
+
+        pil = Image.open(io.BytesIO(blob))
+        if pil.mode in ("L", "1", "I;16"):
+            return np.asarray(pil.convert("L"))
+        return np.asarray(pil.convert("RGB"))[..., ::-1]  # RGB → BGR
+    except ImportError:
+        pass
+    try:
+        import cv2
+
+        arr = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_UNCHANGED)
+        if arr is None:
+            raise ValueError("undecodable image bytes")
+        if arr.ndim == 3:
+            return arr[..., :3]  # drop alpha; already BGR
+        return arr
+    except ImportError:
+        pass
+    arr = _decode_png(blob)
+    return arr[..., ::-1] if arr.ndim == 3 else arr  # PNG stores RGB
 
 
 class RealRecognizer:
@@ -653,6 +706,7 @@ def extract_media_span(
     if err is not None:
         return {"status": "failed", "error": err, "kind": "media_text", "text": None}
 
+    bgr = None  # 3-channel frame for real color sources (LAB CLAHE path)
     if blob.startswith(SIMG_MAGIC):
         meta, img = decode_simg(blob)
         recognizer = recognizer or StubRecognizer()
@@ -662,7 +716,7 @@ def extract_media_span(
         # crash; with PIL/pytesseract/paddleocr installed this is the
         # full real-image path)
         try:
-            img = decode_real_image(blob)
+            decoded = decode_real_image_any(blob)
         except (ImportError, ValueError) as exc:
             return {
                 "status": "failed",
@@ -670,11 +724,23 @@ def extract_media_span(
                 "kind": "media_text",
                 "text": None,
             }
+        if decoded.ndim == 3:
+            bgr = decoded
+            img = colorspace.bgr_to_gray(bgr)
+        else:
+            img = decoded
         meta = {}
         recognizer = recognizer or RealRecognizer()
 
     # --- alignment (hybrid dispatch P12, reference hybrid.py:47-110) ---
-    img = imageops.downscale_max_side(img)  # det_limit_side_len analog
+    if bgr is not None:  # det_limit_side_len analog, channels in lockstep
+        side = max(bgr.shape[:2])
+        if side > 960:
+            dstep = -(-side // 960)
+            bgr = np.ascontiguousarray(bgr[::dstep, ::dstep])
+        img = colorspace.bgr_to_gray(bgr)
+    else:
+        img = imageops.downscale_max_side(img)
     # Alignment mode is per-request in the reference (alignmentMode,
     # recognize.ts:21-28; hybrid.py:59-61 gates the neural try on
     # config.mode == 'neural'): the job-level default comes from
@@ -701,14 +767,34 @@ def extract_media_span(
         # cost ~linear in pixels) and the corners scale back; the warp
         # samples the ORIGINAL (uninverted) frame, aligner.py:203-204.
         try:
-            working, _inverted = imageops.invert_if_dark(img)  # P2
-            step = max(1, -(-max(working.shape) // CLASSIC_MAX_SIDE))
-            small = (
-                np.ascontiguousarray(working[::step, ::step])
-                if step > 1
-                else working
-            )
-            corners = align.classic_align_corners(small) * float(step)
+            if bgr is not None:
+                # COLOR classic front end: dark-invert on the gray mean
+                # but over the color frame (common.py:9-18), then the
+                # reference's LAB-channel CLAHE illumination chain
+                # (common.py:21-33, kernels/colorspace.py); the mask
+                # algebra downstream runs on the equalized luminance
+                # (documented grayscale specialization, align.py notes).
+                wbgr, _inverted = colorspace.invert_if_dark_color(bgr)
+                step = max(1, -(-max(wbgr.shape[:2]) // CLASSIC_MAX_SIDE))
+                small_bgr = (
+                    np.ascontiguousarray(wbgr[::step, ::step])
+                    if step > 1
+                    else wbgr
+                )
+                small = colorspace.bgr_to_gray(small_bgr)
+                pre = colorspace.bgr_to_gray(
+                    colorspace.preprocess_illumination_color(small_bgr)
+                )
+                corners = align.classic_align_corners(small, pre=pre) * float(step)
+            else:
+                working, _inverted = imageops.invert_if_dark(img)  # P2
+                step = max(1, -(-max(working.shape) // CLASSIC_MAX_SIDE))
+                small = (
+                    np.ascontiguousarray(working[::step, ::step])
+                    if step > 1
+                    else working
+                )
+                corners = align.classic_align_corners(small) * float(step)
             warped = imageops.warp_perspective(
                 img, imageops.order_corners(corners), warp_interp
             )

@@ -79,3 +79,37 @@ def test_real_png_media_end_to_end(spark, tmp_path_factory):
     if not have_engine:
         for kind, text, _ref, _order in png_spans:
             assert kind == "media_text" and text is None
+
+
+def test_color_png_media_end_to_end(spark, tmp_path_factory):
+    """COLOR real-image coverage, non-gated: the first 2 media blobs are
+    truecolor PNGs (datagen png_color), which travel the color front end
+    — decode_real_image_any → dark-invert on the gray mean → LAB-channel
+    CLAHE (kernels/colorspace.py, reference common.py:21-33) — before
+    the shared mask/warp/OCR stages. Golden equality holds by the same
+    argument as the grayscale PNG test, and the media_truth sidecar for
+    pngc rows is pinned to the Rec.601 gray view the kernels decode."""
+    from ocr_service_spark.datagen import ensure_dataset
+
+    out_dir = str(tmp_path_factory.mktemp("pngc-ds"))
+    paths = ensure_dataset(out_dir, 24, seed=7, png_media=4, png_color=2)
+    docs, media = load_inputs(spark, out_dir)
+    out, _ = run_extract(spark, docs, media)
+    got = _seqs(out.collect())
+    golden = _seqs(spark.read.parquet(paths["golden"]).collect())
+    assert got == golden
+    truth = spark.read.parquet(paths["media_truth"])
+    assert truth.filter("codec = 'pngc'").count() == 2
+    assert truth.filter("codec = 'png'").count() == 2
+    # multimodal metadata oracle holds through the color decode: the
+    # kernel's gray view must match the generation-time truth
+    from ocr_service_spark.ops.multimodal import media_metadata
+
+    meta = {
+        r["media_ref"]: r
+        for r in media_metadata(media).collect()
+    }
+    for t in truth.filter("codec = 'pngc'").collect():
+        m = meta[t["media_ref"]]
+        assert m["width"] == t["width"] and m["height"] == t["height"]
+        assert abs(m["mean_brightness"] - t["mean_brightness"]) < 1e-6
