@@ -1914,3 +1914,127 @@ FROM (SELECT CAST({key} AS VARCHAR) AS k, count(*) AS g FROM {table} GROUP BY 1)
 
 EXTRA_QUERIES["shuffle_key_skew"] = q_shuffle_key_skew
 EXTRA_ORACLES["shuffle_key_skew"] = _skew_sql()
+
+
+# --- HyperLogLog distinct sketch ----------------------------------------------
+# Completes the mergeable-summary family's distinct-count corner from the
+# other direction: KMV (above) keeps K minimum hash VALUES; HLL keeps a
+# max-rho register per hash bucket (Flajolet-Fusy-Gandouet-Meunier 2007,
+# the sketch behind Spark's own approx_count_distinct). The engine builds
+# the DETERMINISTIC twin — fixed md5 hashing, integer-exact register and
+# harmonic-sum arithmetic — so the DuckDB oracle reproduces the estimate
+# bit for bit, unlike the opaque HLL++ aggregate. Per-register max merges
+# from ANY partitioning (the per-partition summary a 100 TB scan reduces:
+# one groupBy(register) shuffle of HLL_M rows per partition, everything
+# after is statistics-sized). The query measures estimate-vs-exact error
+# in the same row rather than assuming the sketch's 1.04/sqrt(m) bound.
+HLL_M = 256      # registers (p = 8 index bits)
+_HLL_WBITS = 44  # md5 prefix is 52 bits; 52 - 8 index bits remain
+# alpha_m * m^2 for the raw estimator, embedded via repr in BOTH engines
+# so the float literal is identical (cross-engine float-literal rule)
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct estimate of lineitem order keys (≈4 rows per key, so
+    the sketch does real dedup work): 52-bit md5 prefix → register
+    j = h % m, payload w = h DIV m; rho = leading-zero count of w in a
+    44-bit window + 1 = 45 - bitlength(w) (45 for w = 0) — bitlength via
+    length(bin(w)), integer-exact on both engines. One groupBy(j) keeps
+    max rho per register; the harmonic sum is computed SCALED BY 2^rmax
+    in BIGINT (sum of shiftleft(1, rmax - mj) plus 2^rmax per empty
+    register), so the only floating-point steps are one exact
+    multiply-by-power-of-two and one correctly-rounded division —
+    bit-identical across engines. err_ppm compares against the exact
+    distinct count computed in the same query."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("h"),
+        F.col("l_orderkey"),
+    )
+    regs = li.groupBy((F.col("h") % HLL_M).alias("j")).agg(
+        F.max(
+            F.when(F.expr(f"h DIV {HLL_M} = 0"), F.lit(_HLL_WBITS + 1)).otherwise(
+                F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.expr(f"h DIV {HLL_M}")))
+            )
+        ).alias("mj")
+    )
+    st = regs.agg(
+        F.count("*").alias("present"), F.max("mj").alias("rmax")
+    )
+    ssum = (
+        regs.crossJoin(F.broadcast(st))
+        .agg(
+            F.sum(F.expr("shiftleft(1L, CAST(rmax - mj AS INT))")).alias("s_regs"),
+            F.first("present").alias("present"),
+            F.first("rmax").alias("rmax"),
+        )
+        .withColumn(
+            "s_scaled",
+            F.col("s_regs")
+            + (F.lit(HLL_M).cast("long") - F.col("present"))
+            * F.expr("shiftleft(1L, CAST(rmax AS INT))"),
+        )
+    )
+    exact = load(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return (
+        ssum.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(HLL_M).alias("m"),
+            F.col("present").cast("long").alias("registers_set"),
+            F.col("rmax").cast("long").alias("rmax"),
+            F.col("s_scaled"),
+            (
+                F.lit(_HLL_ALPHA_M2)
+                * F.expr("CAST(shiftleft(1L, CAST(rmax AS INT)) AS DOUBLE)")
+                / F.col("s_scaled").cast("double")
+            ).alias("estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+        .withColumn(
+            "err_ppm",
+            F.floor(
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                * F.lit(1000000.0)
+                / F.col("exact_distinct").cast("double")
+            ).cast("long"),
+        )
+    )
+
+
+_ORACLE_HLL = f"""
+WITH h AS (
+  SELECT CAST(concat('0x', substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+  FROM lineitem
+),
+regs AS (
+  SELECT h % {HLL_M} AS j,
+         max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(h // {HLL_M})) END) AS mj
+  FROM h GROUP BY 1
+),
+st AS (SELECT count(*) AS present, max(mj) AS rmax FROM regs),
+s AS (
+  SELECT sum((1::BIGINT) << CAST(st.rmax - regs.mj AS INT)) AS s_regs,
+         any_value(st.present) AS present, any_value(st.rmax) AS rmax
+  FROM regs, st
+),
+ex AS (SELECT count(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
+SELECT {HLL_M} AS m,
+       CAST(present AS BIGINT) AS registers_set,
+       CAST(rmax AS BIGINT) AS rmax,
+       CAST(s_regs + ({HLL_M}::BIGINT - present) * ((1::BIGINT) << CAST(rmax AS INT)) AS BIGINT) AS s_scaled,
+       {_HLL_ALPHA_M2!r} * CAST((1::BIGINT) << CAST(rmax AS INT) AS DOUBLE)
+         / CAST(s_regs + ({HLL_M}::BIGINT - present) * ((1::BIGINT) << CAST(rmax AS INT)) AS DOUBLE) AS estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(floor(abs({_HLL_ALPHA_M2!r} * CAST((1::BIGINT) << CAST(rmax AS INT) AS DOUBLE)
+         / CAST(s_regs + ({HLL_M}::BIGINT - present) * ((1::BIGINT) << CAST(rmax AS INT)) AS DOUBLE)
+         - exact_distinct) * 1000000.0 / CAST(exact_distinct AS DOUBLE)) AS BIGINT) AS err_ppm
+FROM s, ex
+"""
+
+EXTRA_QUERIES["hll_distinct"] = q_hll_distinct
+EXTRA_ORACLES["hll_distinct"] = _ORACLE_HLL

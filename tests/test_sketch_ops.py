@@ -286,3 +286,31 @@ def test_dq_checks_fail_on_planted_violations(spark, tmp_path):
         assert 0 < got[name]["observed"] < 1
     # 1 bad value in 101 rows = 99.0099% in range — above the 0.99 bar
     assert got["value_in_range"]["passes"]
+
+
+def test_hll_distinct_error_bound(spark, sf001):
+    """HLL raw estimate with m=256 registers has standard error
+    1.04/sqrt(m) ≈ 6.5%; assert a loose 4-sigma bound (26%) plus the
+    structural invariants (register count, scaled harmonic sum)."""
+    r = relational.q_hll_distinct(spark, sf001).first()
+    assert r["m"] == relational.HLL_M
+    assert 0 < r["registers_set"] <= relational.HLL_M
+    assert r["s_scaled"] >= r["registers_set"]  # each register adds ≥1
+    assert r["exact_distinct"] > 0
+    assert r["err_ppm"] < 260_000, (r["estimate"], r["exact_distinct"])
+
+
+def test_hll_distinct_partition_invariant(spark, sf001, monkeypatch):
+    """Per-register max merges from any partitioning — the estimate must
+    be bit-identical under a different input layout."""
+    base = relational.q_hll_distinct(spark, sf001).first()
+    orig_load = relational.load
+
+    def reload(s, d, name):
+        df = orig_load(s, d, name)
+        return df.repartition(13) if name == "lineitem" else df
+
+    monkeypatch.setattr(relational, "load", reload)
+    alt = relational.q_hll_distinct(spark, sf001).first()
+    assert alt["estimate"] == base["estimate"]
+    assert alt["s_scaled"] == base["s_scaled"]
