@@ -133,6 +133,7 @@ HEADLINE = [
     "user_event_pivot",
     "range_join_event_pairs",
     "kmv_distinct_estimate",
+    "hll_distinct",
     "quantile_sketch",
     "zorder_locality",
     "funnel_conversion",
