@@ -1947,28 +1947,37 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply-by-power-of-two and one correctly-rounded division —
     bit-identical across engines. err_ppm compares against the exact
     distinct count computed in the same query."""
-    li = load(spark, sf_dir, "lineitem").select(
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    hashed = li.select(
         F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 13), 16, 10)
         .cast("long")
-        .alias("h"),
-        F.col("l_orderkey"),
+        .alias("h")
     )
-    regs = li.groupBy((F.col("h") % HLL_M).alias("j")).agg(
+    regs = hashed.groupBy((F.col("h") % HLL_M).alias("j")).agg(
         F.max(
             F.when(F.expr(f"h DIV {HLL_M} = 0"), F.lit(_HLL_WBITS + 1)).otherwise(
                 F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.expr(f"h DIV {HLL_M}")))
             )
         ).alias("mj")
     )
-    st = regs.agg(
-        F.count("*").alias("present"), F.max("mj").alias("rmax")
-    )
+    # rmax/present via one unpartitioned window over the HLL_M-row
+    # register frame (statistics-sized by construction), so the corpus
+    # scan + groupBy are referenced exactly ONCE — the estimate path is
+    # scan → one shuffle → sketch rows, the shape that holds at 100 TB.
+    w = Window.partitionBy()
     ssum = (
-        regs.crossJoin(F.broadcast(st))
+        regs.select(
+            "mj",
+            F.max("mj").over(w).alias("rmax"),
+            F.count("*").over(w).alias("present"),
+        )
+        .groupBy()
         .agg(
             F.sum(F.expr("shiftleft(1L, CAST(rmax - mj AS INT))")).alias("s_regs"),
-            F.first("present").alias("present"),
-            F.first("rmax").alias("rmax"),
+            F.max("rmax").alias("rmax"),
+            F.max("present").alias("present"),
         )
         .withColumn(
             "s_scaled",
@@ -1977,9 +1986,10 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.expr("shiftleft(1L, CAST(rmax AS INT))"),
         )
     )
-    exact = load(spark, sf_dir, "lineitem").agg(
-        F.countDistinct("l_orderkey").alias("exact_distinct")
-    )
+    # the exact arm is the panel's MEASUREMENT (like the ANN recall
+    # panels): a second corpus scan you only pay when auditing the
+    # sketch, never in the production estimate path above
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
     return (
         ssum.crossJoin(F.broadcast(exact))
         .select(
