@@ -59,6 +59,8 @@ AUDIT = {
     # embeddings-driven, round 4
     "ann_ivfpq_multiprobe": "embeddings",  # shared PQ panel + cell filters
     "kmeans_clusters": "embeddings",       # K=sqrt(n), 2-level model update
+    # lineitem-driven (100x)
+    "hll_distinct": "lineitem",            # register sketch: 1 shuffle, m rows (r4)
     # events-driven (100x)
     "quantile_sketch": "events",           # mergeable W-counter sketch
     "range_join_event_pairs": "events",    # time-bucket blocking
