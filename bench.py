@@ -134,6 +134,7 @@ HEADLINE = [
     "range_join_event_pairs",
     "kmv_distinct_estimate",
     "hll_distinct",
+    "frequent_ngrams",
     "quantile_sketch",
     "zorder_locality",
     "funnel_conversion",

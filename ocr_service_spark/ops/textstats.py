@@ -1329,3 +1329,100 @@ FROM samp, est, tot
 
 EXTRA_QUERIES["priority_sample"] = q_priority_sample
 EXTRA_ORACLES["priority_sample"] = _ORACLE_PRIORITY_SAMPLE
+
+
+# --- frequent n-grams (distributed heavy hitters) --------------------------
+# Boilerplate/meme mining: the most frequent trigrams in the corpus,
+# found WITHOUT a full groupBy over the n-gram key space (10^12 docs ->
+# more distinct n-grams than any shuffle wants to carry). Two phases,
+# the classic candidates-then-recount layout:
+#   1. candidate generation, bounded memory: per Arrow batch, exact
+#      value_counts (the batch is bounded, so this IS bounded memory)
+#      keeping items with batch count > batch_len/FH_CAP — the
+#      Misra-Gries/SpaceSaving survival guarantee in vectorized batch
+#      form: if an item's global count exceeds N/FH_CAP, an averaging
+#      argument puts it over the local threshold in at least one batch,
+#      so the TRUE heavy hitters always survive, under any partitioning.
+#   2. exact recount of candidates only (broadcast semi-join — the
+#      candidate set is threshold-pruned, not corpus-sized), then the
+#      report keeps exactly the rows with exact count > N/FH_CAP: a set
+#      the guarantee makes PARTITION-INVARIANT even though the candidate
+#      set itself is not. Deterministic top-FH_TOPK by (count desc, s).
+# At 100 TB the shingle projection feeding the three row-local passes
+# (total, candidates, recount) would be persisted or fused; candidates
+# from very wide fleets can be re-pruned hierarchically before the
+# broadcast. Oracle: the full GROUP BY the phase structure avoids.
+FH_NGRAM = 3
+FH_CAP = 4096    # survival threshold denominator (sketch "capacity")
+FH_TOPK = 20
+
+
+def _fh_shingles(docs: DataFrame) -> DataFrame:
+    base = docs.select(F.split("text", " ").alias("l")).filter(
+        F.size("l") >= FH_NGRAM
+    )
+    return base.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(l)-{FH_NGRAM - 1}), "
+                f"i -> array_join(slice(l, i, {FH_NGRAM}), ' '))"
+            )
+        ).alias("s")
+    )
+
+
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top trigrams with exact counts above the N/FH_CAP heavy-hitter
+    threshold, via bounded-memory candidate generation + exact recount
+    (see block comment). Output: (s, freq, total_ngrams)."""
+    import pandas as _pd
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _fh_shingles(docs)
+
+    def _candidates(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf["s"].value_counts()
+            yield _pd.DataFrame(
+                {"s": vc[vc > len(pdf) / FH_CAP].index.to_numpy()}
+            )
+
+    cand = sh.mapInPandas(_candidates, "s string").distinct()
+    # total n-grams without exploding: one row-local size sum
+    total = (
+        docs.select(F.split("text", " ").alias("l"))
+        .filter(F.size("l") >= FH_NGRAM)
+        .agg(F.sum(F.size("l") - (FH_NGRAM - 1)).alias("n"))
+    )
+    counted = sh.join(F.broadcast(cand), "s").groupBy("s").agg(
+        F.count("*").alias("freq")
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") > F.col("n") / F.lit(float(FH_CAP)))
+        .orderBy(F.desc("freq"), "s")
+        .limit(FH_TOPK)
+        .select("s", "freq", F.col("n").cast("long").alias("total_ngrams"))
+    )
+
+
+_ORACLE_FREQ_NGRAMS = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT unnest(list_transform(range(1, len(l) - {FH_NGRAM - 2}),
+                               i -> array_to_string(l[i:i+{FH_NGRAM - 1}], ' '))) AS s
+  FROM toks WHERE len(l) >= {FH_NGRAM}
+),
+tot AS (SELECT count(*) AS n FROM sh),
+freq AS (SELECT s, count(*) AS freq FROM sh GROUP BY 1)
+SELECT s, freq, CAST(n AS BIGINT) AS total_ngrams
+FROM freq, tot
+WHERE freq > n / {float(FH_CAP)!r}
+ORDER BY freq DESC, s
+LIMIT {FH_TOPK}
+"""
+
+EXTRA_QUERIES["frequent_ngrams"] = q_frequent_ngrams
+EXTRA_ORACLES["frequent_ngrams"] = _ORACLE_FREQ_NGRAMS

@@ -82,3 +82,54 @@ def test_bpe_merges_quote_in_pair(spark, tmp_path):
         textstats.EXTRA_ORACLES["bpe_merges"] + " ORDER BY step"
     ).fetchall()
     assert [tuple(r) for r in oracle] == got
+
+
+def test_frequent_ngrams_planted_heavy_hitter(spark, tmp_path):
+    """A trigram planted far above the N/FH_CAP threshold must top the
+    report with its EXACT count; background docs of unique tokens
+    contribute no qualifying rows."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    boiler = "subscribe to newsletter"
+    rows = [(i, f"{boiler} extra{i}") for i in range(40)]  # 40x trigram
+    rows += [
+        (100 + i, " ".join(f"u{i}w{j}" for j in range(6))) for i in range(30)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(out / "documents.parquet"))
+    got = textstats.q_frequent_ngrams(spark, str(out)).collect()
+    assert got, "planted heavy hitter missing"
+    top = got[0]
+    assert top["s"] == boiler and top["freq"] == 40
+    # every reported row honors the exact threshold
+    for r in got:
+        assert r["freq"] > r["total_ngrams"] / textstats.FH_CAP
+
+
+def test_frequent_ngrams_partition_invariant(spark, tmp_path, monkeypatch):
+    """The report set is exact counts over the threshold — the
+    survival guarantee makes it identical under any input layout, even
+    though the intermediate candidate set is partition-dependent."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    rows = [(i, f"alpha beta gamma tail{i % 7}") for i in range(50)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(out / "documents.parquet"))
+    base = [
+        (r["s"], r["freq"])
+        for r in textstats.q_frequent_ngrams(spark, str(out)).collect()
+    ]
+    orig_load = textstats.load
+
+    def reload(s, d, name):
+        df = orig_load(s, d, name)
+        return df.repartition(11) if name == "documents" else df
+
+    monkeypatch.setattr(textstats, "load", reload)
+    alt = [
+        (r["s"], r["freq"])
+        for r in textstats.q_frequent_ngrams(spark, str(out)).collect()
+    ]
+    assert alt == base and ("alpha beta gamma", 50) in base
