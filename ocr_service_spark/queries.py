@@ -296,12 +296,13 @@ _ROUND4_HEAD = (
     "timeseries_gapfill",
     "touch_attribution",
     "shuffle_key_skew",
-    # queries whose implementation changed this round and therefore need a
-    # fresh row (media_size_stats exact median, IVF cache eviction under
-    # ann_ivf_probe); the rest of the media family + receipt_fields +
-    # ann_lsh_probe demote on their round-3 green rows
-    "media_size_stats",
-    "ann_ivf_probe",
+    # latest round-4 operators (no row in ANY report — the invariant
+    # pinned by test_registry_consistency gives them the last two slots;
+    # media_size_stats / ann_ivf_probe, whose implementations changed
+    # this round but whose r03 rows are green, demote to the stalest-
+    # green front of the round-5 self-maintaining rotation instead)
+    "hll_distinct",
+    "frequent_ngrams",
 )  # exactly 50 slots — the driver's report window; veterans follow
 
 
