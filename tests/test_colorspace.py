@@ -252,3 +252,52 @@ def test_extract_media_span_color_png_travels_color_path(monkeypatch):
     assert out["status"] in ("completed", "failed")
     if out["status"] == "failed":
         assert "OCR" in out["error"] or "decode" not in out["error"]
+
+
+# --------------------------------------------------------------------------
+# property-based fuzzing (hypothesis)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as hst
+from hypothesis.extra import numpy as hnp
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    hnp.arrays(
+        np.uint8,
+        hst.tuples(
+            hst.integers(min_value=1, max_value=24),
+            hst.integers(min_value=1, max_value=24),
+            hst.just(3),
+        ),
+    )
+)
+def test_lab_roundtrip_property(bgr):
+    """For ANY uint8 BGR frame the LAB u8 roundtrip stays within a few
+    quantization levels and all outputs are valid uint8."""
+    lab = cs.bgr_to_lab(bgr)
+    assert lab.dtype == np.uint8 and lab.shape == bgr.shape
+    back = cs.lab_to_bgr(lab)
+    assert back.dtype == np.uint8
+    err = np.abs(back.astype(np.int32) - bgr.astype(np.int32))
+    assert err.max() <= 4
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    hnp.arrays(
+        np.uint8,
+        hst.tuples(
+            hst.integers(min_value=9, max_value=40),
+            hst.integers(min_value=9, max_value=40),
+        ),
+    )
+)
+def test_color_illumination_gray_neutral_property(g):
+    """Replicated-gray frames stay channel-equal within 1 level through
+    the full color illumination chain, for arbitrary content."""
+    bgr = np.stack([g, g, g], axis=-1)
+    out = cs.preprocess_illumination_color(bgr)
+    spread = out.astype(np.int32).max(axis=-1) - out.astype(np.int32).min(axis=-1)
+    assert spread.max() <= 1
