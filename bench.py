@@ -135,6 +135,7 @@ HEADLINE = [
     "kmv_distinct_estimate",
     "hll_distinct",
     "frequent_ngrams",
+    "curation_pipeline",
     "quantile_sketch",
     "zorder_locality",
     "funnel_conversion",

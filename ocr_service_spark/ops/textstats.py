@@ -1426,3 +1426,244 @@ LIMIT {FH_TOPK}
 
 EXTRA_QUERIES["frequent_ngrams"] = q_frequent_ngrams
 EXTRA_ORACLES["frequent_ngrams"] = _ORACLE_FREQ_NGRAMS
+
+
+# --- full curation pipeline (composite funnel) ------------------------------
+# The showcase composition: the stages a pretraining-data pipeline runs
+# before tokenization — quality gate → exact dedup → MinHash-band
+# near-dup keep-first → benchmark decontamination → per-language mixture
+# shares — as ONE DataFrame program with per-stage survivor counts (the
+# funnel observability you need to know WHICH stage ate the corpus).
+# Every stage reuses the exact expressions of its standalone operator
+# (corpus_curation quality score, dedup.py shingle/minhash/banding,
+# decontam_hits shingle overlap), so the composite's oracle is the same
+# CTE chain. Near-dup policy: a doc is dropped if ANY of its band
+# buckets contains a lexicographically-smaller surviving doc (the
+# SemDeDup-style keep-first ledger, deterministic without iterating to
+# connected components). Stage counts come from per-stage per-language
+# aggregates joined at the end (language-cardinality rows); the corpus
+# scan is re-derived per stage branch — at 100 TB you persist the
+# scored projection once, which changes no semantics.
+CPIPE_PPM = 1_000_000
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import CHAR_SHINGLE, N_MINHASHES
+
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    stop_hits = F.size(F.filter(tokens, lambda t: t.isin(*_STOP["en"])))
+    mean_word_len = F.length(F.translate(F.col("text"), " ", "")) / n_tokens
+    quality = (
+        F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.5
+        + (stop_hits / n_tokens) * 2.0
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.3).otherwise(0.0)
+    )
+    scored = docs.select(
+        "doc_id", "lang", "text", n_tokens.alias("toks"), quality.alias("q")
+    )
+    from pyspark.sql import Window as W
+
+    # stage flags on ONE corpus lineage (a first draft aggregated each
+    # stage's survivors separately and Catalyst re-derived the whole
+    # chain per branch: 53 exchanges; the flag-chain form audits at a
+    # handful). ok_exact = first q-passing doc per content hash, via a
+    # running count over the hash partition.
+    w_hash = W.partitionBy(F.md5("text")).orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    flagged = scored.withColumn(
+        "ok_q", F.col("q") >= CURATION_MIN_QUALITY
+    ).withColumn(
+        "ok_exact",
+        F.col("ok_q")
+        & (F.sum(F.when(F.col("q") >= CURATION_MIN_QUALITY, 1).otherwise(0)).over(w_hash) == 1),
+    )
+    # near-dup banding over exact-dedup survivors (dedup.py expressions).
+    # Only the DROPPED doc_ids travel back — the near-dup loser set is
+    # small, so the flag join is a broadcast, never a corpus shuffle.
+    shingles = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - {CHAR_SHINGLE - 1}, 1)), "
+            f"i -> substring(text, i, {CHAR_SHINGLE}))"
+        )
+    )
+    sig = (
+        flagged.filter("ok_exact")
+        .select("doc_id", F.explode_outer(shingles).alias("sh"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"m{k}")
+                for k in range(N_MINHASHES)
+            ]
+        )
+    )
+    stacked = sig.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", "m0", "m1")).alias("b0"),
+        F.md5(F.concat_ws("|", "m2", "m3")).alias("b1"),
+    ).selectExpr("doc_id", "stack(2, 0, b0, 1, b1) as (band, bucket)")
+    w_bucket = W.partitionBy("band", "bucket")
+    dropped3 = (
+        stacked.withColumn("mn", F.min("doc_id").over(w_bucket))
+        .filter(F.col("doc_id") != F.col("mn"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dropped", F.lit(True))
+    )
+    # decontamination (decontam_hits expressions): bench shingles come
+    # from the RAW corpus; the contaminated set is computed over ALL
+    # non-bench docs (a superset of stage-3 survivors — harmless, the
+    # flag AND-chain already excludes earlier losers) so it needs no
+    # join against the survivor lineage. Both side tables are small →
+    # broadcast.
+    tok_sh = F.when(
+        F.size(F.split("text", " ")) >= DECON_SHINGLE,
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(split(text, ' '))-{DECON_SHINGLE - 1}), "
+            f"i -> array_join(slice(split(text, ' '), i, {DECON_SHINGLE}), ' ')))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench = (
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(F.explode(tok_sh).alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .select("doc_id", F.explode(tok_sh).alias("s"))
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    full = (
+        flagged.join(F.broadcast(dropped3), "doc_id", "left")
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .withColumn(
+            "ok_near", F.col("ok_exact") & F.col("near_dropped").isNull()
+        )
+        .withColumn(
+            "ok_final",
+            F.col("ok_near")
+            & (F.col("doc_id") % DECON_BENCH_MOD != 0)
+            & F.col("contam").isNull(),
+        )
+    )
+    out = full.groupBy("lang").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.col("ok_q").cast("long")).alias("n_quality"),
+        F.sum(F.col("ok_exact").cast("long")).alias("n_exact_dedup"),
+        F.sum(F.col("ok_near").cast("long")).alias("n_near_dedup"),
+        F.sum(F.col("ok_final").cast("long")).alias("n_final"),
+        F.sum(F.when(F.col("ok_final"), F.col("toks")).otherwise(0))
+        .cast("long")
+        .alias("tokens_final"),
+    )
+    # total tokens via an unpartitioned window over the language-
+    # cardinality frame (a scalar-subquery crossJoin re-derived the whole
+    # funnel lineage a second time)
+    w_all = W.partitionBy()
+    return out.withColumn(
+        "total_tokens", F.sum("tokens_final").over(w_all).cast("long")
+    ).select(
+        "lang",
+        "n_raw",
+        "n_quality",
+        "n_exact_dedup",
+        "n_near_dedup",
+        "n_final",
+        "tokens_final",
+        F.expr(
+            f"CAST(tokens_final * {CPIPE_PPM} DIV greatest(total_tokens, 1) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+def _cpipe_sql() -> str:
+    from .dedup import CHAR_SHINGLE, N_MINHASHES
+
+    mins = ",\n         ".join(
+        f"min(md5(concat('{k}:', sh))) AS m{k}" for k in range(N_MINHASHES)
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS toks,
+         least(1.0, len(string_split(text, ' ')) / 64.0) * 0.5
+         + (len(list_filter(string_split(text, ' '), t -> t IN {_EN_STOP_SQL}))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 2.0
+         + CASE WHEN length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 3 AND 10
+                THEN 0.3 ELSE 0.0 END AS q
+  FROM documents
+),
+s1 AS (SELECT * FROM scored WHERE q >= {CURATION_MIN_QUALITY}),
+s2 AS (
+  SELECT doc_id, lang, text, toks FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM s1)
+  WHERE rn = 1
+),
+shingled AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(length(text) - {CHAR_SHINGLE - 1}, 1) + 1),
+           i -> substring(text, i, {CHAR_SHINGLE})))) AS sh
+  FROM s2
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingled GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(concat(m0, '|', m1)) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(concat(m2, '|', m3)) AS bucket FROM sig
+),
+keep3 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, max(CASE WHEN doc_id <> mn THEN 1 ELSE 0 END) AS dropped
+    FROM (SELECT doc_id, band, bucket, min(doc_id) OVER (PARTITION BY band, bucket) AS mn FROM bands)
+    GROUP BY doc_id)
+  WHERE dropped = 0
+),
+s3 AS (SELECT s2.* FROM s2 JOIN keep3 USING (doc_id)),
+tsh AS (
+  SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= {DECON_SHINGLE}
+           THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - {DECON_SHINGLE - 2}),
+                i -> array_to_string(string_split(text, ' ')[i:i+{DECON_SHINGLE - 1}], ' ')))
+           ELSE []::VARCHAR[] END) AS s
+  FROM documents
+),
+bench AS (SELECT DISTINCT s FROM tsh WHERE doc_id % {DECON_BENCH_MOD} = 0),
+corpus3 AS (SELECT * FROM s3 WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+contaminated AS (
+  SELECT DISTINCT tsh.doc_id FROM tsh
+  JOIN corpus3 USING (doc_id)
+  JOIN bench USING (s)
+),
+s4 AS (SELECT * FROM corpus3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+a0 AS (SELECT lang, count(*) AS n_raw FROM scored GROUP BY 1),
+a1 AS (SELECT lang, count(*) AS n_quality FROM s1 GROUP BY 1),
+a2 AS (SELECT lang, count(*) AS n_exact_dedup FROM s2 GROUP BY 1),
+a3 AS (SELECT lang, count(*) AS n_near_dedup FROM s3 GROUP BY 1),
+a4 AS (SELECT lang, count(*) AS n_final, CAST(sum(toks) AS BIGINT) AS tokens_final FROM s4 GROUP BY 1),
+j AS (
+  SELECT a0.lang, n_raw,
+         coalesce(n_quality, 0) AS n_quality,
+         coalesce(n_exact_dedup, 0) AS n_exact_dedup,
+         coalesce(n_near_dedup, 0) AS n_near_dedup,
+         coalesce(n_final, 0) AS n_final,
+         CAST(coalesce(tokens_final, 0) AS BIGINT) AS tokens_final
+  FROM a0 LEFT JOIN a1 USING (lang) LEFT JOIN a2 USING (lang)
+          LEFT JOIN a3 USING (lang) LEFT JOIN a4 USING (lang)
+),
+tot AS (SELECT CAST(sum(tokens_final) AS BIGINT) AS total_tokens FROM j)
+SELECT lang, n_raw, n_quality, n_exact_dedup, n_near_dedup, n_final, tokens_final,
+       CAST(tokens_final * {CPIPE_PPM} // greatest(total_tokens, 1) AS BIGINT) AS share_ppm
+FROM j, tot
+"""
+
+
+EXTRA_QUERIES["curation_pipeline"] = q_curation_pipeline
+EXTRA_ORACLES["curation_pipeline"] = _cpipe_sql()

@@ -248,7 +248,9 @@ _ROUND4_HEAD = (
     # the 36 never-reported (CORRECTNESS_r03 delta), index builds before
     # their probes so build-once/probe-many ordering still holds
     "stateful_session_counts",
-    "ann_lsh_buckets",
+    # ann_lsh_buckets demoted late round 4: it holds hash-green r01+r02
+    # rows on stable code, while curation_pipeline (below) has no row in
+    # ANY report — the staleness invariant in test_registry_consistency
     "ann_ivf_cells",
     "pii_scrub_stats",
     "tfidf_top_terms",
@@ -297,12 +299,13 @@ _ROUND4_HEAD = (
     "touch_attribution",
     "shuffle_key_skew",
     # latest round-4 operators (no row in ANY report — the invariant
-    # pinned by test_registry_consistency gives them the last two slots;
+    # pinned by test_registry_consistency gives them the last slots;
     # media_size_stats / ann_ivf_probe, whose implementations changed
     # this round but whose r03 rows are green, demote to the stalest-
     # green front of the round-5 self-maintaining rotation instead)
     "hll_distinct",
     "frequent_ngrams",
+    "curation_pipeline",
 )  # exactly 50 slots — the driver's report window; veterans follow
 
 

@@ -67,8 +67,11 @@ def test_registry_consistency():
     else:
         # round 4: the hand-written schedule is authoritative
         assert names[: len(_ROUND4_HEAD)] == list(_ROUND4_HEAD)
+        # r03-delta minus ann_lsh_buckets (demoted late round 4: it holds
+        # hash-green r01+r02 rows on stable code, curation_pipeline has
+        # no row anywhere — see queries._ROUND4_HEAD)
         never_reported_r3 = {
-            "stateful_session_counts", "ann_lsh_buckets", "ann_ivf_cells",
+            "stateful_session_counts", "ann_ivf_cells",
             "pii_scrub_stats", "tfidf_top_terms", "repetition_filter",
             "decontam_hits", "unigram_logprob", "cms_token_counts",
             "dsir_weights", "bpe_merges", "pmi_cooccurrence", "doc_chunks",
@@ -80,23 +83,40 @@ def test_registry_consistency():
             "zorder_locality", "funnel_conversion", "retention_cohorts",
             "psi_drift", "ab_test", "dq_checks", "volume_anomalies",
         }
-        assert set(names[2:38]) == never_reported_r3
+        assert set(names[2:37]) == never_reported_r3
         # new round-4 operators must also land inside the 50-row window
         assert names.index("ann_ivfpq_multiprobe") < 50
         assert names.index("source_overlap_matrix") < 50
         assert names.index("minhash_lsh_recall") < 50
         assert len(_ROUND4_HEAD) <= 50
-    # the general rotation invariant, data-driven: any registered query
-    # that has NO clean row in any historical driver CORRECTNESS report
-    # must occupy one of the first 50 slots (the driver's report window)
-    # — otherwise it can never earn a hard-signal row. Holds for both the
-    # hand-written round-4 schedule and the self-maintaining rotation.
+    # the general rotation invariant, data-driven: the report window must
+    # never WASTE a slot — a query with no clean row in any historical
+    # driver CORRECTNESS report may sit outside the first 50 slots only
+    # when the window is already saturated with never-reported queries
+    # (no previously-green veteran holds a slot while one waits). Holds
+    # for both the hand-written round-4 schedule and the self-maintaining
+    # rotation; overflow rotates in on the next report.
     reported: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         with open(path) as fh:
             reported |= set(json.load(fh))
     stranded = [n for n in names[50:] if n not in reported]
-    assert stranded == [], f"never-reported queries outside slots 1-50: {stranded}"
+    if stranded:
+        # staleness form: everything stranded must be at least as
+        # recently verified as the most-recently-verified non-flagship
+        # INSIDE the window (never-reported counts as round 0) — the
+        # window always holds the weakest verification records
+        from ocr_service_spark.queries import _report_history
+
+        history = _report_history()
+        history.pop("__latest_round__")
+        strand_min = min(history.get(n, 0) for n in stranded)
+        window_max = max(history.get(n, 0) for n in names[2:50])
+        assert strand_min >= window_max, (
+            f"stranded {stranded} (oldest clean round {strand_min}) wait "
+            f"outside the window while a slot-holder has a newer clean "
+            f"row (round {window_max})"
+        )
 
 
 def test_similarity_cache_eviction(spark):

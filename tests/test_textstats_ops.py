@@ -133,3 +133,56 @@ def test_frequent_ngrams_partition_invariant(spark, tmp_path, monkeypatch):
         for r in textstats.q_frequent_ngrams(spark, str(out)).collect()
     ]
     assert alt == base and ("alpha beta gamma", 50) in base
+
+
+def test_curation_pipeline_funnel_monotone(spark):
+    """Per-language survivor counts must shrink (weakly) through every
+    stage, shares must sum to ≤ 1e6 ppm, and the final token sum must
+    equal the per-language tokens_final sum."""
+    rows = textstats.q_curation_pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_raw"]
+            >= r["n_quality"]
+            >= r["n_exact_dedup"]
+            >= r["n_near_dedup"]
+            >= r["n_final"]
+            >= 0
+        )
+    assert sum(r["share_ppm"] for r in rows) <= textstats.CPIPE_PPM
+
+
+def test_curation_pipeline_planted_stages(spark, tmp_path):
+    """Planted docs must fall at the intended stage: an exact duplicate
+    dies at exact-dedup, and a benchmark twin dies at decontamination."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks to "
+        "the old market with a friend of the family to buy fresh bread"
+    )
+    rows = [
+        (1, "en", good),
+        (2, "en", good),  # exact duplicate of 1 → dies at exact dedup
+        # doc_id 97 % 97 == 0 → benchmark doc (leaves the training split);
+        # stopword-rich so it clears the quality gate first
+        (97, "en", "the answer to the contest is this very exact special phrase in the end"),
+        # shares the 4-token shingle "this very exact special" with the
+        # benchmark doc → decontaminated
+        (5, "en", "we keep this very exact special run of the data in the training set"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").coalesce(
+        1
+    ).write.parquet(str(out / "documents.parquet"))
+    r = {x["lang"]: x for x in textstats.q_curation_pipeline(spark, str(out)).collect()}[
+        "en"
+    ]
+    assert r["n_raw"] == 4
+    # quality gate: all four planted docs are stopword-rich enough to pass
+    assert r["n_quality"] == 4
+    assert r["n_exact_dedup"] == 3  # the exact duplicate died
+    # near-dup banding keeps all three distinct texts
+    assert r["n_near_dedup"] == 3
+    # bench doc 97 leaves the split; doc 5 is decontaminated → only doc 1
+    assert r["n_final"] == 1

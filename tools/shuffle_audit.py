@@ -52,6 +52,7 @@ AUDIT = {
     "quality_signal_corr": "documents",    # fixed-width moment summary (r4)
     "priority_sample": "documents",        # TakeOrdered top-(k+1), no global sort (r4)
     "frequent_ngrams": "documents",        # MG candidates + exact recount (r4)
+    "curation_pipeline": "documents",      # composite funnel, per-stage aggs (r4)
     "semantic_decontam": "embeddings",     # broadcast panel, 1 row out per row in (r4)
     # embeddings-driven (4x)
     "embedding_neardup": "embeddings",     # corpus-sized LSH blocking
