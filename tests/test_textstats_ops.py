@@ -186,3 +186,25 @@ def test_curation_pipeline_planted_stages(spark, tmp_path):
     assert r["n_near_dedup"] == 3
     # bench doc 97 leaves the split; doc 5 is decontaminated → only doc 1
     assert r["n_final"] == 1
+
+
+def test_curation_pipeline_partition_invariant(spark, monkeypatch):
+    """Every stage flag is deterministic under input layout: the content-
+    hash window orders by doc_id, bucket mins are layout-free, and the
+    loser sets are exact — so the whole funnel must be bit-identical
+    after a repartition."""
+    sf = "/root/testdata/sf0.001"
+    base = sorted(
+        tuple(r) for r in textstats.q_curation_pipeline(spark, sf).collect()
+    )
+    orig_load = textstats.load
+
+    def reload(s, d, name):
+        df = orig_load(s, d, name)
+        return df.repartition(13) if name == "documents" else df
+
+    monkeypatch.setattr(textstats, "load", reload)
+    alt = sorted(
+        tuple(r) for r in textstats.q_curation_pipeline(spark, sf).collect()
+    )
+    assert alt == base
