@@ -103,13 +103,6 @@ def invert_if_dark_color(bgr: np.ndarray) -> tuple[np.ndarray, bool]:
     return bgr, False
 
 
-# ×1.2 contrast gain as one LUT gather (cv2.addWeighted(result, 1.2, 0, 0, 0)
-# = saturate(round(v·1.2))) — same device as media._GAIN_LUT.
-_GAIN_LUT = np.clip(
-    np.rint(np.arange(256, dtype=np.float32) * np.float32(1.2)), 0, 255
-).astype(np.uint8)
-
-
 def preprocess_illumination_color(bgr: np.ndarray) -> np.ndarray:
     """P3 full COLOR chain (common.py:21-33): per-channel 5×5 Gaussian
     blur (cv2.GaussianBlur applies the separable kernel to each channel
@@ -121,4 +114,7 @@ def preprocess_illumination_color(bgr: np.ndarray) -> np.ndarray:
     )
     lab = bgr_to_lab(blurred)
     lab[..., 0] = align.clahe(np.ascontiguousarray(lab[..., 0]))
-    return _GAIN_LUT[lab_to_bgr(lab)]
+    # ×1.2 gain via the grayscale chain's own LUT (align._GAIN_LUT:
+    # saturate(round(v·1.2)), cv2.addWeighted semantics) so a gain
+    # change can never diverge between the gray and color paths
+    return align._GAIN_LUT[lab_to_bgr(lab)]
