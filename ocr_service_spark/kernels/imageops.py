@@ -44,7 +44,7 @@ def downscale_max_side(img: np.ndarray, limit: int = 960) -> np.ndarray:
     strided nearest sampling; keeps every later temporary cache-sized,
     which is what lets 32 concurrent workers scale instead of thrashing
     the allocator/memory bus on 30 MB frames."""
-    h, w = img.shape
+    h, w = img.shape[:2]  # 2-D gray or 3-D BGR (channels kept in lockstep)
     side = max(h, w)
     if side <= limit:
         return img

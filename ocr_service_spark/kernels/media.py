@@ -512,10 +512,15 @@ def decode_real_image(blob: bytes) -> np.ndarray:
         import io
 
         from PIL import Image
-
-        return np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
     except ImportError:
         pass
+    else:
+        try:
+            return np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
+        except Exception as exc:
+            # UnidentifiedImageError is an OSError — re-raise as the
+            # ValueError the failed-span guard expects, never a crash
+            raise ValueError(f"undecodable image bytes: {exc}") from exc
     try:
         import cv2
 
@@ -538,13 +543,18 @@ def decode_real_image_any(blob: bytes) -> np.ndarray:
         import io
 
         from PIL import Image
-
-        pil = Image.open(io.BytesIO(blob))
-        if pil.mode in ("L", "1", "I;16"):
-            return np.asarray(pil.convert("L"))
-        return np.asarray(pil.convert("RGB"))[..., ::-1]  # RGB → BGR
     except ImportError:
         pass
+    else:
+        try:
+            pil = Image.open(io.BytesIO(blob))
+            if pil.mode in ("L", "1", "I;16"):
+                return np.asarray(pil.convert("L"))
+            return np.asarray(pil.convert("RGB"))[..., ::-1]  # RGB → BGR
+        except Exception as exc:
+            # UnidentifiedImageError is an OSError — re-raise as the
+            # ValueError the failed-span guard expects, never a crash
+            raise ValueError(f"undecodable image bytes: {exc}") from exc
     try:
         import cv2
 
@@ -734,10 +744,7 @@ def extract_media_span(
 
     # --- alignment (hybrid dispatch P12, reference hybrid.py:47-110) ---
     if bgr is not None:  # det_limit_side_len analog, channels in lockstep
-        side = max(bgr.shape[:2])
-        if side > 960:
-            dstep = -(-side // 960)
-            bgr = np.ascontiguousarray(bgr[::dstep, ::dstep])
+        bgr = imageops.downscale_max_side(bgr)
         img = colorspace.bgr_to_gray(bgr)
     else:
         img = imageops.downscale_max_side(img)
