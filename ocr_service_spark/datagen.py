@@ -373,6 +373,184 @@ def generate(
     return paths
 
 
+_RECEIPT_ITEMS = (
+    # digit-free names, none containing a total/tax keyword (total, tax,
+    # итог, сумма, ндс, vat) so spec-side classification is unambiguous
+    "apple", "bread pack", "milk", "coffee beans", "sugar",
+    "чай зелёный", "orange juice", "butter",
+)
+_RECEIPT_WARN = "total not found; subtotal from items"
+
+
+def _amount(rng: np.random.Generator, comma: bool = False) -> tuple[str, float]:
+    """Render a price string and the exact float the parser will produce
+    for it (float() over the dot-normalized rendered text, so the sidecar
+    and the engine share bit-identical values)."""
+    cents = int(rng.integers(5, 99999))
+    s = f"{cents // 100}.{cents % 100:02d}"
+    return (s.replace(".", ",") if comma else s), float(s)
+
+
+def generate_receipts(out_dir: str, n: int, seed: int = 42) -> dict[str, str]:
+    """Deterministic receipt-text corpus + generation-time expected
+    structured records (the golden.parquet pattern) for the R8 structuring
+    stage. Eight variants cover the HeuristicStructurer's decision
+    surface: full receipt w/ ISO date + tax + total; items w/o total
+    (subtotal + warning); plain note; ru keywords + comma decimals +
+    dotted date; empty text; whitespace/bare-amount/keyword-noise lines
+    incl. the subtotal-then-total overwrite; tax-only; duplicate date
+    lines (first wins).
+
+    The expected sidecar is computed from the SPEC (render-time
+    arithmetic over the same parsed floats, in render order) — an
+    independent derivation from the line parser in kernels/structuring.py
+    — and stores the final driver-comparable projection: strings
+    coalesced to '', doubles to -1.0, items/warnings as JSON text
+    (reference schema prompt.txt:147-163)."""
+    import json
+
+    rng = np.random.default_rng(seed + 101)  # stream independent of generate()
+    doc_ids, texts, expected = [], [], []
+    for i in range(n):
+        v = i % 8
+        doc_id = f"r-{seed}-{i:06d}"
+        lines: list[str] = []
+        items: list[tuple[str, float]] = []
+        merchant = date = None
+        subtotal = tax = total = None
+        warnings: list[str] = []
+
+        def add_items(k: int, comma: bool = False) -> None:
+            for name in rng.choice(_RECEIPT_ITEMS, size=k, replace=False):
+                s, val = _amount(rng, comma)
+                lines.append(f"{name} {s}")
+                items.append((str(name), val))
+
+        if v == 0:  # full receipt: ISO date, items, tax, Total
+            merchant = f"Shop {i}"
+            lines.append(merchant)
+            m, d = int(rng.integers(1, 13)), int(rng.integers(1, 29))
+            date = f"2024-{m:02d}-{d:02d}"
+            lines.append(date)
+            add_items(int(rng.integers(2, 5)))
+            ts, tax = _amount(rng)
+            lines.append(f"tax {ts}")
+            s, total = _amount(rng)
+            lines.append(f"Total {s}")
+        elif v == 1:  # items but no total -> subtotal + warning
+            merchant = f"Market {i}"
+            lines.append(merchant)
+            add_items(int(rng.integers(1, 4)))
+        elif v == 2:  # plain note, no structure
+            merchant = f"plain note {i} spark shuffle"
+            lines.append(merchant + "   ")
+        elif v == 3:  # ru keywords, comma decimals, dotted date
+            merchant = f"Кафе {i}"
+            lines.append(merchant)
+            m, d = int(rng.integers(1, 13)), int(rng.integers(1, 29))
+            lines.append(f"{d:02d}.{m:02d}.2024")
+            date = f"2024-{m:02d}-{d:02d}"
+            add_items(int(rng.integers(1, 3)), comma=True)
+            s, total = _amount(rng, comma=True)
+            lines.append(f"итог {s}")
+        elif v == 4:  # empty text
+            pass
+        elif v == 5:  # noise: blanks, bare amount, keyword-no-amount,
+            # subtotal line then Total line (last assignment wins)
+            merchant = f"Corner Store {i}"
+            lines.extend(["", "   ", merchant, "5.00", "total pending"])
+            add_items(int(rng.integers(1, 3)))
+            s_sub, _sub_val = _amount(rng)
+            lines.append(f"subtotal {s_sub}")  # 'total' substring -> total
+            s, total = _amount(rng)
+            lines.append(f"Total {s}")
+        elif v == 6:  # tax only, no items -> low confidence
+            merchant = f"Store {i}"
+            lines.append(merchant)
+            ts, tax = _amount(rng)
+            lines.append(f"vat {ts}")
+        else:  # v == 7: two date lines, first wins; no total
+            merchant = f"Deli {i}"
+            lines.append(merchant)
+            m, d = int(rng.integers(1, 13)), int(rng.integers(1, 29))
+            date = f"2024-{m:02d}-{d:02d}"
+            lines.append(date)
+            lines.append(f"{int(rng.integers(1, 29)):02d}.{int(rng.integers(1, 13)):02d}.2023")
+            add_items(int(rng.integers(1, 3)))
+
+        if total is None and items:
+            subtotal = round(sum(val for _, val in items), 2)
+            warnings.append(_RECEIPT_WARN)
+        confidence = "high" if items and total is not None else ("medium" if items else "low")
+        doc_ids.append(doc_id)
+        texts.append("\n".join(lines))
+        expected.append(
+            {
+                "doc_id": doc_id,
+                "span_order": 0,
+                "merchant": merchant or "",
+                "date": date or "",
+                "items": json.dumps(
+                    [
+                        {"name": nm, "quantity": None, "price": None, "total": val}
+                        for nm, val in items
+                    ],
+                    sort_keys=True,
+                ),
+                "subtotal": subtotal if subtotal is not None else -1.0,
+                "tax": tax if tax is not None else -1.0,
+                "total": total if total is not None else -1.0,
+                "confidence": confidence,
+                "warnings": json.dumps(warnings, separators=(",", ":")),
+                "error": "",
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        "receipts": os.path.join(out_dir, "receipts.parquet"),
+        "receipts_expected": os.path.join(out_dir, "receipts_expected.parquet"),
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(doc_ids), "text": pa.array(texts)}),
+        paths["receipts"],
+        row_group_size=128,
+    )
+    exp_tbl = pa.table(
+        {
+            "doc_id": pa.array([e["doc_id"] for e in expected], pa.string()),
+            "span_order": pa.array([e["span_order"] for e in expected], pa.int32()),
+            "merchant": pa.array([e["merchant"] for e in expected], pa.string()),
+            "date": pa.array([e["date"] for e in expected], pa.string()),
+            "items": pa.array([e["items"] for e in expected], pa.string()),
+            "subtotal": pa.array([e["subtotal"] for e in expected], pa.float64()),
+            "tax": pa.array([e["tax"] for e in expected], pa.float64()),
+            "total": pa.array([e["total"] for e in expected], pa.float64()),
+            "confidence": pa.array([e["confidence"] for e in expected], pa.string()),
+            "warnings": pa.array([e["warnings"] for e in expected], pa.string()),
+            "error": pa.array([e["error"] for e in expected], pa.string()),
+        }
+    )
+    pq.write_table(exp_tbl, paths["receipts_expected"], row_group_size=128)
+    return paths
+
+
+def ensure_receipts(out_dir: str, n: int, seed: int = 42) -> dict[str, str]:
+    """Generate-once wrapper for the receipt corpus (pure function of
+    (n, seed); marker presence implies validity)."""
+    marker = os.path.join(out_dir, f".receipts-v1-{n}-{seed}")
+    paths = {
+        "receipts": os.path.join(out_dir, "receipts.parquet"),
+        "receipts_expected": os.path.join(out_dir, "receipts_expected.parquet"),
+    }
+    if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
+        return paths
+    paths = generate_receipts(out_dir, n, seed)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return paths
+
+
 def ensure_dataset(
     out_dir: str,
     n_docs: int,

@@ -108,25 +108,47 @@ def audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synthetic_audio(spark))
 
 
+STRUCTURED_RECEIPTS_N = 400
+
+
 def structured_receipts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R8 structuring over the documents table (rows-only: the production
-    structurer is an external LLM call; offline the deterministic
-    heuristic parser produces the same schema). The registered projection
-    JSON-stringifies `warnings` (items is already a JSON string,
-    structuring.py) — the driver's canonicalizer sort_values/hashes every
-    column, and an array<string> column is unhashable there
-    (CORRECTNESS_r03 `TypeError: unhashable type: 'list'`). Rule: no
-    array/map/struct columns in any registered query output, ever."""
+    """R8 full-schema structuring, hash-checked (round-4 verdict Next #2):
+    the input is the deterministic receipt corpus datagen renders from a
+    spec, and the oracle is its generation-time expected-record sidecar
+    (receipts_expected.parquet — spec arithmetic, independent of the line
+    parser in kernels/structuring.py), the extract_pipeline golden
+    pattern. The Spark side runs the REAL mapInPandas stage
+    (structure_spans → HeuristicStructurer offline; LLMStructurer when
+    LLM_API_URL/KEY are set — reference deepseek_client.py:24-114,
+    schema prompt.txt:147-163).
+
+    Projection rules for the driver hasher: no array/map/struct columns
+    ever (warnings → to_json; items is already a JSON string), strings
+    coalesced to '' and doubles to -1.0 (pandas/DuckDB NULL handling
+    would sabotage the value compare otherwise)."""
     from pyspark.sql import functions as F
 
+    from .datagen import ensure_receipts
     from .kernels.structuring import structure_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.lit(0).alias("span_order"),
-        "text",
+    paths = ensure_receipts(ENTRY_DS_DIR, STRUCTURED_RECEIPTS_N, ENTRY_SEED)
+    docs = spark.read.parquet(paths["receipts"]).select(
+        "doc_id", F.lit(0).alias("span_order"), "text"
     )
-    return structure_spans(docs).withColumn("warnings", F.to_json("warnings"))
+    out = structure_spans(docs)
+    return out.select(
+        "doc_id",
+        "span_order",
+        F.coalesce("merchant", F.lit("")).alias("merchant"),
+        F.coalesce("date", F.lit("")).alias("date"),
+        "items",
+        F.coalesce("subtotal", F.lit(-1.0)).alias("subtotal"),
+        F.coalesce("tax", F.lit(-1.0)).alias("tax"),
+        F.coalesce("total", F.lit(-1.0)).alias("total"),
+        "confidence",
+        F.to_json("warnings").alias("warnings"),
+        F.coalesce("error", F.lit("")).alias("error"),
+    )
 
 
 def receipt_fields_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,8 +479,17 @@ def oracle_sql() -> dict[str, str]:
     out.update(streaming.EXTRA_ORACLES)
     out.update(relational.EXTRA_ORACLES)
     out.update(_media_oracles())
-    # only structured_receipts stays rows-only (full LLM-schema output
-    # with JSON+array columns); receipt_fields carries its SQL-
-    # expressible R8 subset, and extract_pipeline/media_thumbnails are
-    # golden/sidecar-checked as of round 3.
+    # round 5: structured_receipts gains a generation-time sidecar oracle
+    # (spec-derived expected records, independent of the line parser) —
+    # every registered query is now hash-checked.
+    from .datagen import ensure_receipts
+
+    expected = ensure_receipts(ENTRY_DS_DIR, STRUCTURED_RECEIPTS_N, ENTRY_SEED)[
+        "receipts_expected"
+    ]
+    out["structured_receipts"] = (
+        'SELECT doc_id, span_order, merchant, "date", items, subtotal, tax, '
+        "total, confidence, warnings, error "
+        f"FROM read_parquet('{expected}')"
+    )
     return out

@@ -60,6 +60,37 @@ def test_heuristic_empty_text_low_confidence():
     assert res["items"] == [] and res["confidence"] == "low"
 
 
+# --- receipt-corpus sidecar (the structured_receipts driver oracle) --------------
+
+def test_receipt_sidecar_matches_parser(tmp_path):
+    """The generation-time expected-record sidecar (spec arithmetic,
+    datagen.generate_receipts) must agree with the real line parser on
+    every rendered receipt — the local form of the structured_receipts
+    driver hash check, covering all 8 variants."""
+    import pyarrow.parquet as pq
+
+    from ocr_service_spark.datagen import generate_receipts
+
+    paths = generate_receipts(str(tmp_path), 64, seed=7)
+    receipts = pq.read_table(paths["receipts"]).to_pylist()
+    expected = {r["doc_id"]: r for r in pq.read_table(paths["receipts_expected"]).to_pylist()}
+    assert len(receipts) == 64
+    parser = st.HeuristicStructurer()
+    for row in receipts:
+        exp = expected[row["doc_id"]]
+        res = parser.structure_text(row["text"])
+        assert (res["merchant"] or "") == exp["merchant"], row["doc_id"]
+        assert (res["date"] or "") == exp["date"], row["doc_id"]
+        assert json.dumps(res["items"], sort_keys=True) == exp["items"], row["doc_id"]
+        for k in ("subtotal", "tax", "total"):
+            got = res[k] if res[k] is not None else -1.0
+            assert got == exp[k], (row["doc_id"], k)
+        assert res["confidence"] == exp["confidence"], row["doc_id"]
+        assert json.dumps(res["warnings"], separators=(",", ":")) == exp["warnings"]
+    # all variants represented with distinct confidence classes
+    assert {e["confidence"] for e in expected.values()} == {"high", "medium", "low"}
+
+
 # --- LLM client retry contract ---------------------------------------------------
 
 def _client(responses, sleeps):
