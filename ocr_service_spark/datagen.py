@@ -564,10 +564,11 @@ def ensure_dataset(
     # marker version bumps force regeneration when generated content
     # changes (v3: small row groups; v4: per-blob alignment modes;
     # v5: media_truth ground-truth sidecar; v6: thumb_md5 truth column;
-    # v7: dhash truth column)
+    # v7: dhash truth column; v8: true 3-D color flood fill — pngc
+    # golden spans change)
     marker = os.path.join(
         out_dir,
-        f".complete-v7-{n_docs}-{seed}-{media_scale}"
+        f".complete-v8-{n_docs}-{seed}-{media_scale}"
         + (f"-png{png_media}" if png_media else "")
         + (f"-pngc{png_color}" if png_color else ""),
     )

@@ -27,7 +27,13 @@ common.py:21-33) without cv2 (absent in this container):
 In grayscale the reference's color formulas specialize EXACTLY:
 `_color_distance` (3-D Euclidean, aligner.py:386-389) becomes |a - b|,
 and the brightness weights 0.299+0.587+0.114 sum to 1, so brightness of
-an (r=g=b=v) pixel is v (aligner.py:393).
+an (r=g=b=v) pixel is v (aligner.py:393). For genuinely COLOR frames the
+specialization does NOT hold (equal-luminance hue boundaries are
+invisible to |Δ| on gray), so P4/P5 also accept (H, W, 3) BGR frames and
+run the reference's true color math — per-channel running mean,
+Euclidean distance, Rec.601 brightness in the tolerance — via the same
+vectorized BFS (`flood_fill` handles both layouts; the color path in
+kernels/media.py hands the LAB-CLAHE-equalized color frame in).
 
 Documented deviations (each is a determinism-or-scale engineering choice,
 like the nearest-vs-INTER_CUBIC warp tradeoff in imageops.py):
@@ -196,19 +202,24 @@ def preprocess_illumination(img: np.ndarray) -> np.ndarray:
 
 def _get_samples(img: np.ndarray, center: tuple[int, int], radius: int) -> np.ndarray:
     """(2r+1)² in-bounds patch values around center=(x, y), row-major
-    (aligner.py:374-384)."""
+    (aligner.py:374-384). Gray frames yield shape (N,); color frames
+    (N, C) — one sample row per pixel, like the reference's list of
+    image[y, x] vectors."""
     x, y = center
-    h, w = img.shape
+    h, w = img.shape[:2]
     y0, y1 = max(0, y - radius), min(h, y + radius + 1)
     x0, x1 = max(0, x - radius), min(w, x + radius + 1)
-    return img[y0:y1, x0:x1].astype(np.float32).ravel()
+    patch = img[y0:y1, x0:x1].astype(np.float32)
+    return patch.ravel() if img.ndim == 2 else patch.reshape(-1, img.shape[2])
 
 
 def find_best_seed_point(img: np.ndarray) -> tuple[int, int]:
     """Pick the most homogeneous of 5 candidate points (aligner.py:232-257):
     center + the 4 third-points; homogeneity = 1/(1+std of 11×11 patch);
-    strictly-greater comparison → first candidate wins ties."""
-    h, w = img.shape
+    strictly-greater comparison → first candidate wins ties. np.std over
+    the (N, C) color samples is the flattened global std, exactly the
+    reference's np.std(samples)."""
+    h, w = img.shape[:2]
     candidates = [
         (w // 2, h // 2),
         (w // 3, h // 3),
@@ -229,12 +240,24 @@ def find_best_seed_point(img: np.ndarray) -> tuple[int, int]:
 # P5: adaptive-tolerance flood fill
 # --------------------------------------------------------------------------
 
-def compute_auto_tolerance(samples: np.ndarray, mean_color: float) -> float:
+def compute_auto_tolerance(samples: np.ndarray, mean_color) -> float:
     """tolerance = clip(13 + (255-brightness)·0.7 + variance·0.7, 10, 65)
     (aligner.py:391-395). Grayscale: brightness ≡ mean_color (the BGR
-    weights sum to 1), variance = mean |s - mean|."""
-    variance = float(np.mean(np.abs(samples - mean_color)))
-    tolerance = 13.0 + (255.0 - mean_color) * 0.7 + variance * 0.7
+    weights sum to 1), variance = mean |s - mean|. Color ((N, 3) BGR
+    samples, (3,) mean): variance = mean Euclidean distance to the mean
+    color, brightness = Rec.601 over the mean color (aligner.py:392-393)."""
+    if samples.ndim == 2:
+        mean_color = np.asarray(mean_color, dtype=np.float64)
+        variance = float(
+            np.mean(np.sqrt(np.sum((samples - mean_color) ** 2, axis=1)))
+        )
+        brightness = float(
+            mean_color[2] * 0.299 + mean_color[1] * 0.587 + mean_color[0] * 0.114
+        )
+    else:
+        variance = float(np.mean(np.abs(samples - mean_color)))
+        brightness = float(mean_color)
+    tolerance = 13.0 + (255.0 - brightness) * 0.7 + variance * 0.7
     return float(np.clip(tolerance, TOLERANCE_MIN, TOLERANCE_MAX))
 
 
@@ -317,6 +340,55 @@ def _scan_frontier(
     return acc, mean
 
 
+def _scan_frontier_color(
+    colors: np.ndarray, mean: np.ndarray, tol: float, alpha: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """`_scan_frontier` for (n, C) color frontiers: accept iff the
+    EUCLIDEAN distance ‖c_i − m_i‖ ≤ tol (reference _color_distance,
+    aligner.py:386-389), mean advances per channel. The closed-form
+    speculation is the same scalar recurrence applied channelwise (the
+    mean update is linear, so channels evolve independently); only the
+    accept test couples them."""
+    n = len(colors)
+    acc = np.zeros(n, dtype=bool)
+    r = 1.0 - alpha
+    pow_r, pow_inv = _power_tables(alpha)
+    mean = np.asarray(mean, dtype=np.float64)
+    i = 0
+    ch = _SPEC_CHUNK
+    while i < n:
+        chunk = colors[i : i + ch]
+        k = len(chunk)
+        d2 = np.sum((chunk - mean) ** 2, axis=1)
+        if d2[0] > tol * tol:
+            # reject-run: mean frozen, decisions independent
+            rejected = d2 > tol * tol
+            g = int(np.argmin(rejected)) if not rejected.all() else k
+            i += max(g, 1)
+            ch = _SPEC_CHUNK
+            continue
+        powers = pow_r[1 : k + 1, None]
+        inv = pow_inv[:k, None]
+        pref = np.cumsum(chunk * inv, axis=0)
+        m_after = powers * mean + alpha * (powers / r) * pref
+        m_before = np.empty_like(m_after)
+        m_before[0] = mean
+        m_before[1:] = m_after[:-1]
+        dec = np.sum((chunk - m_before) ** 2, axis=1) <= tol * tol
+        if dec.all():
+            acc[i : i + k] = True
+            mean = m_after[-1].copy()
+            i += k
+            ch = min(ch * 2, _SPEC_CHUNK_MAX)
+            continue
+        f = int(np.argmin(dec))  # first rejection; f >= 1 (dec[0] is True)
+        acc[i : i + f] = True
+        mean = m_before[f].copy()  # pixel f rejected against this exact mean
+        i += f + 1
+        ch = _SPEC_CHUNK
+    return acc, mean
+
+
 def flood_fill(img: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
     """Flood fill matching aligner.py:259-292 exactly: 8-connected BFS
     from `seed` (x, y), accept pixels within the adaptive tolerance of
@@ -324,10 +396,15 @@ def flood_fill(img: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
     visited-at-enqueue). Frontier expansion and the accept/update scan
     are vectorized but semantics-identical to the reference deque BFS
     (`flood_fill_reference`, cross-validated in tests). Returns the
-    uint8 mask (255 = filled) BEFORE the 5×5 cleanup."""
-    h, w = img.shape
+    uint8 mask (255 = filled) BEFORE the 5×5 cleanup.
+
+    Accepts (H, W) gray or (H, W, 3) BGR frames; color frames run the
+    reference's true color math (per-channel running mean, Euclidean
+    accept test — `_scan_frontier_color`)."""
+    h, w = img.shape[:2]
+    color = img.ndim == 3
     samples = _get_samples(img, seed, radius=3)
-    mean = float(np.mean(samples))
+    mean = samples.mean(axis=0).astype(np.float64) if color else float(np.mean(samples))
     tol = compute_auto_tolerance(samples, mean)
 
     # padded index space: a 1-px always-visited border removes all bounds
@@ -338,9 +415,9 @@ def flood_fill(img: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
     visited[-pw:] = True
     visited[::pw] = True
     visited[pw - 1 :: pw] = True
-    padded = np.zeros((h + 2, w + 2), dtype=img.dtype)
+    padded = np.zeros((h + 2, w + 2) + img.shape[2:], dtype=img.dtype)
     padded[1:-1, 1:-1] = img
-    flat = padded.reshape(-1)
+    flat = padded.reshape(-1, img.shape[2]) if color else padded.reshape(-1)
     offsets = (_DIRS[:, 0] * pw + _DIRS[:, 1]).astype(np.int64)
 
     sx, sy = seed
@@ -351,7 +428,10 @@ def flood_fill(img: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
 
     while frontier.size:
         colors = flat[frontier].astype(np.float64)
-        ok, mean = _scan_frontier(colors, mean, tol, FLOOD_ALPHA)
+        if color:
+            ok, mean = _scan_frontier_color(colors, mean, tol, FLOOD_ALPHA)
+        else:
+            ok, mean = _scan_frontier(colors, mean, tol, FLOOD_ALPHA)
         accepted = frontier[ok]
         if accepted.size == 0:
             break
@@ -377,12 +457,19 @@ def flood_fill(img: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
 def flood_fill_reference(img: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
     """Verbatim per-pixel port of the reference deque BFS
     (aligner.py:259-292) — the cross-validation oracle for `flood_fill`
-    in the unit tests; O(pixels) Python, so test-sized images only."""
+    in the unit tests; O(pixels) Python, so test-sized images only.
+    Handles both layouts like `flood_fill`: gray uses |Δ|, color the
+    per-channel mean + Euclidean accept (compared in squared form, the
+    algebraic equivalent of aligner.py:386-389's sqrt)."""
     from collections import deque
 
-    h, w = img.shape
+    h, w = img.shape[:2]
+    color_frame = img.ndim == 3
     samples = _get_samples(img, seed, radius=3)
-    mean = float(np.mean(samples))
+    if color_frame:
+        mean = samples.mean(axis=0).astype(np.float64)
+    else:
+        mean = float(np.mean(samples))
     tol = compute_auto_tolerance(samples, mean)
 
     mask = np.zeros((h, w), dtype=np.uint8)
@@ -391,8 +478,13 @@ def flood_fill_reference(img: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
     visited[seed[1], seed[0]] = True
     while queue:
         x, y = queue.popleft()
-        color = float(img[y, x])
-        if abs(color - mean) <= tol:
+        if color_frame:
+            color = img[y, x].astype(np.float64)
+            ok = float(np.sum((color - mean) ** 2)) <= tol * tol
+        else:
+            color = float(img[y, x])
+            ok = abs(color - mean) <= tol
+        if ok:
             mean = mean * (1 - FLOOD_ALPHA) + color * FLOOD_ALPHA
             mask[y, x] = 255
             for dy, dx in _DIRS:
@@ -444,7 +536,8 @@ def binary_open(mask: np.ndarray, k: int) -> np.ndarray:
 
 
 def find_check_mask(img: np.ndarray, seed: tuple[int, int]) -> np.ndarray:
-    """P5 complete: flood fill + 5×5 close + 5×5 open (aligner.py:289-292)."""
+    """P5 complete: flood fill + 5×5 close + 5×5 open (aligner.py:289-292).
+    Gray or color frame; the mask is 2-D either way."""
     mask = flood_fill(img, seed)
     return binary_open(binary_close(mask, 5), 5)
 
@@ -804,9 +897,11 @@ def classic_align_corners(
     aligner throws and the gateway falls back locally, P14).
 
     ``pre`` overrides the internal grayscale P3 with a precomputed
-    illumination-equalized frame — the color path hands in the luminance
-    of the LAB-channel CLAHE chain (kernels/colorspace.py), matching the
-    reference's CLAHE-on-L-of-LAB for color inputs."""
+    illumination-equalized frame — the color path hands in the full
+    (H, W, 3) BGR output of the LAB-channel CLAHE chain
+    (kernels/colorspace.py), so P4/P5 run the reference's 3-D color
+    math (seed homogeneity over color samples, Euclidean flood-fill
+    distance) instead of the grayscale specialization."""
     if pre is None:
         pre = preprocess_illumination(working)
     seed = find_best_seed_point(pre)

@@ -97,8 +97,12 @@ def lab_to_bgr(lab: np.ndarray) -> np.ndarray:
 
 def invert_if_dark_color(bgr: np.ndarray) -> tuple[np.ndarray, bool]:
     """P2 for color frames (common.py:9-18): the dark test runs on the
-    BGR2GRAY mean, the inversion on the color frame itself."""
-    if float(bgr_to_gray(bgr).mean()) < 100.0:
+    BGR2GRAY mean, the inversion on the color frame itself. Shares the
+    gray path's configured threshold so the two P2 stages can never
+    silently diverge."""
+    from ..config import DARK_INVERT_MEAN_THRESHOLD
+
+    if float(bgr_to_gray(bgr).mean()) < DARK_INVERT_MEAN_THRESHOLD:
         return (255 - bgr), True
     return bgr, False
 

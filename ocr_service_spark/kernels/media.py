@@ -505,32 +505,17 @@ def _decode_png_gray(blob: bytes) -> np.ndarray:
 def decode_real_image(blob: bytes) -> np.ndarray:
     """P1 decode for real jpeg/png/webp bytes → grayscale uint8 ndarray
     (reference cv2.imdecode at aligner.py:144-152 / PIL at paddleocr
-    ocr.py:60-68; this engine is grayscale-native). Falls back to the
-    built-in pure-python PNG decoder (grayscale subset) when neither
-    codec library is importable, so basic real images decode anywhere."""
-    try:
-        import io
+    ocr.py:60-68; this engine is grayscale-native). One gray definition
+    engine-wide: color sources decode via `decode_real_image_any` and
+    reduce through colorspace.bgr_to_gray (the cv2-exact fixed-point
+    Rec.601 transform) — never PIL's convert('L'), whose 2^16-scaled
+    weights differ by ±1/pixel and would diverge the truth sidecars."""
+    arr = decode_real_image_any(blob)
+    if arr.ndim == 3:
+        from . import colorspace
 
-        from PIL import Image
-    except ImportError:
-        pass
-    else:
-        try:
-            return np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
-        except Exception as exc:
-            # UnidentifiedImageError is an OSError — re-raise as the
-            # ValueError the failed-span guard expects, never a crash
-            raise ValueError(f"undecodable image bytes: {exc}") from exc
-    try:
-        import cv2
-
-        arr = cv2.imdecode(np.frombuffer(blob, np.uint8), 0)  # IMREAD_GRAYSCALE
-        if arr is None:
-            raise ValueError("undecodable image bytes")
-        return arr
-    except ImportError:
-        pass
-    return _decode_png_gray(blob)
+        return colorspace.bgr_to_gray(arr)
+    return arr
 
 
 def decode_real_image_any(blob: bytes) -> np.ndarray:
@@ -561,6 +546,13 @@ def decode_real_image_any(blob: bytes) -> np.ndarray:
         arr = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_UNCHANGED)
         if arr is None:
             raise ValueError("undecodable image bytes")
+        if arr.dtype != np.uint8:
+            # 16-bit PNG etc.: IMREAD_UNCHANGED keeps the source depth,
+            # which would wrap to garbage in the uint8 kernels — re-decode
+            # with IMREAD_COLOR (cv2 converts to 8-bit, 3-channel)
+            arr = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+            if arr is None or arr.dtype != np.uint8:
+                raise ValueError("undecodable image bytes: non-8-bit source")
         if arr.ndim == 3:
             return arr[..., :3]  # drop alpha; already BGR
         return arr
@@ -779,8 +771,10 @@ def extract_media_span(
                 # but over the color frame (common.py:9-18), then the
                 # reference's LAB-channel CLAHE illumination chain
                 # (common.py:21-33, kernels/colorspace.py); the mask
-                # algebra downstream runs on the equalized luminance
-                # (documented grayscale specialization, align.py notes).
+                # chain downstream runs on the equalized COLOR frame —
+                # 3-D Euclidean flood-fill distance and color seed
+                # homogeneity (aligner.py:386-395), so equal-luminance
+                # hue boundaries stay visible.
                 wbgr, _inverted = colorspace.invert_if_dark_color(bgr)
                 step = max(1, -(-max(wbgr.shape[:2]) // CLASSIC_MAX_SIDE))
                 small_bgr = (
@@ -788,11 +782,10 @@ def extract_media_span(
                     if step > 1
                     else wbgr
                 )
-                small = colorspace.bgr_to_gray(small_bgr)
-                pre = colorspace.bgr_to_gray(
-                    colorspace.preprocess_illumination_color(small_bgr)
-                )
-                corners = align.classic_align_corners(small, pre=pre) * float(step)
+                pre_bgr = colorspace.preprocess_illumination_color(small_bgr)
+                corners = align.classic_align_corners(
+                    colorspace.bgr_to_gray(small_bgr), pre=pre_bgr
+                ) * float(step)
             else:
                 working, _inverted = imageops.invert_if_dark(img)  # P2
                 step = max(1, -(-max(working.shape) // CLASSIC_MAX_SIDE))

@@ -89,7 +89,22 @@ def widen(df):
     target = df.sparkSession.sparkContext.defaultParallelism
     est = estimated_scan_partitions(df)
     if est is None:
-        est = df.rdd.getNumPartitions()  # non-file frame: local/test-sized
+        # Non-file frame. df.rdd.getNumPartitions() forces an RDD
+        # conversion of the whole plan — fine for the local/test-sized
+        # frames that reach here, a silent cost at scale. Guard: if the
+        # plan already contains a wide step, its partitioning comes from
+        # spark.sql.shuffle.partitions (≥ parallelism in our sessions),
+        # so widening is a no-op — skip the probe entirely.
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+        except Exception:
+            return df
+        if any(
+            k in plan
+            for k in ("Aggregate", "Join", "Window", "Deduplicate", "Repartition")
+        ):
+            return df
+        est = df.rdd.getNumPartitions()  # narrow local frame: cheap probe
     if est < target:
         return df.repartition(target)
     return df

@@ -1396,7 +1396,13 @@ def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("l") >= FH_NGRAM)
         .agg(F.sum(F.size("l") - (FH_NGRAM - 1)).alias("n"))
     )
-    counted = sh.join(F.broadcast(cand), "s").groupBy("s").agg(
+    # NO broadcast hint on cand: the per-batch threshold (len(batch)/
+    # FH_CAP ≈ 2-3 at default Arrow batch sizes) only guarantees the
+    # candidate set is batch-bounded, not corpus-bounded — on a diverse
+    # corpus distinct candidates can approach corpus scale, and a forced
+    # broadcast would be a driver/executor memory hazard. AQE broadcasts
+    # it at runtime when (as in practice) it is actually small.
+    counted = sh.join(cand, "s").groupBy("s").agg(
         F.count("*").alias("freq")
     )
     return (

@@ -139,6 +139,66 @@ def test_flood_fill_confined_to_tolerance_region():
     assert mask[2, 2] == 0  # dark corner
 
 
+# --- P4/P5 on COLOR frames (reference 3-D color math, aligner.py:374-395) -----
+
+def _color_receipt(h=80, w=100, seed=5):
+    """Receipt-style BGR frame: dark bluish background, bright warm block."""
+    rng = np.random.default_rng(seed)
+    img = np.empty((h, w, 3), np.uint8)
+    for c, (bg, fg) in enumerate([(70, 180), (55, 200), (50, 215)]):  # B, G, R
+        ch = rng.normal(bg, 8, (h, w))
+        ch[h // 6 : 5 * h // 6, w // 6 : 5 * w // 6] = rng.normal(
+            fg, 6, (5 * h // 6 - h // 6, 5 * w // 6 - w // 6)
+        )
+        img[..., c] = ch.clip(0, 255).astype(np.uint8)
+    return img
+
+
+def test_color_tolerance_reference_formula():
+    # brightness = Rec.601 over the mean color, variance = mean Euclidean
+    # distance (aligner.py:391-395)
+    samples = np.array([[100.0, 150.0, 200.0], [104.0, 150.0, 197.0]], np.float32)
+    mean = samples.mean(axis=0)
+    bright = mean[2] * 0.299 + mean[1] * 0.587 + mean[0] * 0.114
+    var = float(np.mean(np.sqrt(((samples - mean) ** 2).sum(axis=1))))
+    expect = np.clip(13 + (255 - bright) * 0.7 + var * 0.7, 10, 65)
+    assert align.compute_auto_tolerance(samples, mean) == pytest.approx(expect)
+
+
+@pytest.mark.parametrize("seed_val", [3, 17, 29])
+def test_color_flood_fill_matches_reference_bfs(seed_val):
+    img = _color_receipt(seed=seed_val)
+    seed = align.find_best_seed_point(img)
+    np.testing.assert_array_equal(
+        align.flood_fill(img, seed), align.flood_fill_reference(img, seed)
+    )
+
+
+def test_color_flood_fill_sees_equal_luminance_hue_boundary():
+    """The regression the luminance specialization could never catch:
+    two regions with IDENTICAL Rec.601 gray value but a large BGR
+    Euclidean distance. The gray flood fill floods straight through;
+    the color path must stop at the hue boundary (reference
+    _color_distance, aligner.py:386-389)."""
+    from ocr_service_spark.kernels.colorspace import bgr_to_gray
+
+    a = np.array([128, 128, 128], np.uint8)  # gray
+    b = np.array([23, 128, 168], np.uint8)  # same luminance, strong tint
+    img = np.tile(a, (60, 80, 1)).astype(np.uint8)
+    img[15:45, 20:60] = b
+    gray = bgr_to_gray(img)
+    assert gray[30, 40] == gray[2, 2]  # truly equal-luminance
+    seed = (5, 5)  # in the outer gray region
+    color_mask = align.flood_fill(img, seed)
+    gray_mask = align.flood_fill(gray, seed)
+    assert gray_mask[30, 40] == 255  # luminance view floods through
+    assert color_mask[30, 40] == 0  # color view stops at the hue boundary
+    assert color_mask[2, 2] == 255  # but does fill the seed region
+    np.testing.assert_array_equal(
+        color_mask, align.flood_fill_reference(img, seed)
+    )
+
+
 # --- binary morphology --------------------------------------------------------
 
 def test_binary_close_fills_hole_open_removes_speck():

@@ -47,6 +47,29 @@ def test_flood_fill_always_matches_reference(img):
     )
 
 
+@hst.composite
+def color_image_strategy(draw):
+    """(H, W, 3) BGR frames: a base frame plus per-channel offset/noise so
+    hue boundaries (not just luminance edges) appear."""
+    base = _image(draw, max_side=40).astype(np.int16)
+    rng = np.random.default_rng(draw(hst.integers(0, 2**31 - 1)))
+    chans = []
+    for _ in range(3):
+        off = draw(hst.integers(-60, 60))
+        noise = rng.normal(0, draw(hst.sampled_from([0, 10, 30])), base.shape)
+        chans.append(np.clip(base + off + noise, 0, 255).astype(np.uint8))
+    return np.stack(chans, axis=-1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(color_image_strategy())
+def test_color_flood_fill_always_matches_reference(img):
+    seed = align.find_best_seed_point(img)
+    np.testing.assert_array_equal(
+        align.flood_fill(img, seed), align.flood_fill_reference(img, seed)
+    )
+
+
 @settings(max_examples=25, deadline=None)
 @given(image_strategy(), hst.sampled_from([3, 5]))
 def test_morphology_laws(img, k):
