@@ -1447,9 +1447,9 @@ EXTRA_ORACLES["frequent_ngrams"] = _ORACLE_FREQ_NGRAMS
 # buckets contains a lexicographically-smaller surviving doc (the
 # SemDeDup-style keep-first ledger, deterministic without iterating to
 # connected components). Stage counts come from per-stage per-language
-# aggregates joined at the end (language-cardinality rows); the corpus
-# scan is re-derived per stage branch — at 100 TB you persist the
-# scored projection once, which changes no semantics.
+# aggregates joined at the end (language-cardinality rows); the scored
+# projection is localCheckpointed once so the four downstream branches
+# never re-derive the corpus scan.
 CPIPE_PPM = 1_000_000
 
 
@@ -1486,6 +1486,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ok_q")
         & (F.sum(F.when(F.col("q") >= CURATION_MIN_QUALITY, 1).otherwise(0)).over(w_hash) == 1),
     )
+    # materialize the scored+flagged projection ONCE (the pagerank
+    # localCheckpoint pattern): four branches hang off it — the minhash
+    # signature branch, the bench-shingle and contamination scans, and
+    # the final flag join — and without the checkpoint Catalyst
+    # re-derives the corpus scan + quality expressions + hash window per
+    # branch (5 scans ≈ 5× the corpus read at 100 TB). The explicit
+    # repartition pins the checkpoint at full parallelism: AQE coalesces
+    # the post-window shuffle to ~1 partition at test scale, which would
+    # serialize the CPU-heavy shingle/minhash branch onto one task.
+    flagged = flagged.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
     # near-dup banding over exact-dedup survivors (dedup.py expressions).
     # Only the DROPPED doc_ids travel back — the near-dup loser set is
     # small, so the flag join is a broadcast, never a corpus shuffle.
@@ -1533,12 +1545,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     bench = (
-        docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        flagged.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
         .select(F.explode(tok_sh).alias("s"))
         .distinct()
     )
     contaminated = (
-        docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        flagged.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
         .select("doc_id", F.explode(tok_sh).alias("s"))
         .join(F.broadcast(bench), "s")
         .select("doc_id")
