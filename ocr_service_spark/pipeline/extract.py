@@ -262,21 +262,34 @@ def _make_direct_media_fn(cfg: ExtractConfig):
         kernel_ms: list[float] = []
         for pdf in batches:
             work = [
-                (p, int(rg))
-                for paths, rgs in zip(pdf["paths"], pdf["row_groups"])
-                for p, rg in zip(paths, rgs)
+                (p, int(rg), int(lo), int(hi))
+                for paths, rgs, los, his in zip(
+                    pdf["paths"], pdf["row_groups"], pdf["row_los"], pdf["row_his"]
+                )
+                for p, rg, lo, hi in zip(paths, rgs, los, his)
             ]
-            for path, rg in work:
+            for path, rg, row_lo, row_hi in work:
                 # stream the row group in bounded batches instead of
                 # materializing it whole: datagen writes 16-row groups,
                 # but an externally-written table with default-sized row
                 # groups would otherwise pull hundreds of MB of blobs
                 # into the python worker at once (the Arrow path is
                 # capped at 32 MiB/batch; 16 rows × the 10 MiB ingest
-                # gate bounds this path similarly)
+                # gate bounds this path similarly). [row_lo, row_hi)
+                # selects this bin's packing atom within the group
+                # (_atomize_splits); rows outside it are skipped.
+                cursor = 0
                 for tbl in pq.ParquetFile(path).iter_batches(
                     batch_size=16, row_groups=[rg], columns=["media_ref", "content"]
                 ):
+                    b_lo = max(row_lo - cursor, 0)
+                    b_hi = min(row_hi - cursor, tbl.num_rows)
+                    cursor += tbl.num_rows
+                    if b_lo >= b_hi:
+                        if cursor >= row_hi:
+                            break
+                        continue
+                    tbl = tbl.slice(b_lo, b_hi - b_lo)
                     refs = tbl.column("media_ref").to_pylist()
                     blobs = tbl.column("content").to_pylist()
                     texts, kinds = [], []
@@ -488,25 +501,64 @@ def _direct_read_splits(media: DataFrame) -> list[tuple[str, int, int, int]] | N
     return splits or None
 
 
+# atoms per bin: row groups are cut into row ranges fine enough that LPT
+# has ~8 atoms per bin to balance with. Without sub-row-group atoms, a
+# table whose row-group count is close to the bin count degenerates to
+# one-group-per-bin — zero packing freedom, and the per-group cost
+# variance lands directly on the stage tail (measured: 107 groups vs
+# 128 bins at local[32] → max/avg 1.77 and a 3.3-wave straggler tail);
+# with atoms sized off the TARGET constant instead of the actual bin
+# cost, 2-3 atoms/bin still left a 1.6 max/avg last-atom quantization.
+ATOMS_PER_BIN = 8.0
+
+
+def _atomize_splits(
+    splits: list[tuple[str, int, int, int]], atom_cost_ms: float
+) -> list[tuple[float, str, int, int, int]]:
+    """Cut (path, row_group, bytes, rows) splits into (cost, path, rg,
+    row_lo, row_hi) packing atoms of ~atom_cost_ms estimated cost (floor:
+    one row). Rows within a group are assumed cost-uniform (the per-row
+    inference cost dominates; bytes prorate). Sub-group reads re-decode
+    the group's pages once per atom — a few ms of pyarrow I/O against
+    hundreds of ms of kernel work per atom."""
+    atoms: list[tuple[float, str, int, int, int]] = []
+    for path, rg, nbytes, rows in splits:
+        cost = _split_cost_ms(rows, nbytes)
+        pieces = max(1, min(rows, int(cost // max(atom_cost_ms, 1e-6)) + 1))
+        base, extra = divmod(rows, pieces)
+        lo = 0
+        for p in range(pieces):
+            cnt = base + (1 if p < extra else 0)
+            if cnt == 0:
+                continue
+            atoms.append((cost * cnt / rows if rows else 0.0, path, rg, lo, lo + cnt))
+            lo += cnt
+    return atoms
+
+
 def _lpt_pack(
     splits: list[tuple[str, int, int, int]], n: int
-) -> list[tuple[list[str], list[int]]]:
-    """Longest-processing-time-first bin packing of (path, row_group,
-    bytes, rows) splits into n bins by estimated cost (_split_cost_ms);
-    returns per-bin (paths, row_groups)."""
+) -> list[tuple[list[str], list[int], list[int], list[int]]]:
+    """Longest-processing-time-first bin packing into n bins by estimated
+    cost (_split_cost_ms), over sub-row-group atoms (_atomize_splits)
+    sized at ~1/ATOMS_PER_BIN of the ACTUAL expected bin cost (total/n);
+    returns per-bin (paths, row_groups, row_los, row_his)."""
     import heapq
 
-    n = max(1, min(n, len(splits)))
+    total_cost = sum(_split_cost_ms(rows, b) for _, _, b, rows in splits)
+    atom_ms = total_cost / max(n, 1) / ATOMS_PER_BIN
+    atoms = _atomize_splits(splits, atom_ms)
+    n = max(1, min(n, len(atoms)))
     heap = [(0.0, i) for i in range(n)]  # (bin_cost, bin_idx)
-    bins: list[tuple[list[str], list[int]]] = [([], []) for _ in range(n)]
-    weighted = sorted(
-        ((_split_cost_ms(rows, nbytes), path, rg) for path, rg, nbytes, rows in splits),
-        key=lambda s: -s[0],
-    )
-    for cost, path, rg in weighted:
+    bins: list[tuple[list[str], list[int], list[int], list[int]]] = [
+        ([], [], [], []) for _ in range(n)
+    ]
+    for cost, path, rg, lo, hi in sorted(atoms, key=lambda s: -s[0]):
         size, idx = heapq.heappop(heap)
         bins[idx][0].append(path)
         bins[idx][1].append(rg)
+        bins[idx][2].append(lo)
+        bins[idx][3].append(hi)
         heapq.heappush(heap, (size + cost, idx))
     return bins
 
@@ -592,7 +644,9 @@ def _media_branch(
             .values()
         )
         pairs = spark.createDataFrame(
-            rdd, "paths array<string>, row_groups array<int>"
+            rdd,
+            "paths array<string>, row_groups array<int>, "
+            "row_los array<int>, row_his array<int>",
         )
         results = pairs.mapInPandas(
             _make_direct_media_fn(cfg), schema=_MEDIA_RESULT_SCHEMA
