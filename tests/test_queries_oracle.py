@@ -33,13 +33,13 @@ def test_registry_consistency():
 
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
-    # everything except structured_receipts is oracle-checked: the media
-    # kernels against datagen-ground-truth sidecars (round 3; thumbnails
-    # via a generation-time thumb_md5), extract_pipeline against its
-    # golden.parquet. structured_receipts stays rows-only (JSON+array
-    # columns; receipt_fields carries the SQL-expressible R8 subset).
+    # every registered query is oracle-checked: the media kernels against
+    # datagen-ground-truth sidecars (round 3; thumbnails via a
+    # generation-time thumb_md5), extract_pipeline against its
+    # golden.parquet, and — round 5 — structured_receipts against its
+    # generation-time expected-record sidecar (receipts_expected.parquet).
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"structured_receipts"}
+    assert rows_only == set()
     # registry order is part of the driver contract: the driver reports
     # exactly the FIRST 50 entries, so round 4 rotates the 36 queries
     # that never had a driver row (CORRECTNESS_r03 delta) into slots
