@@ -553,14 +553,21 @@ def _lpt_pack(
     bins: list[tuple[list[str], list[int], list[int], list[int]]] = [
         ([], [], [], []) for _ in range(n)
     ]
+    packed = [0.0] * n
     for cost, path, rg, lo, hi in sorted(atoms, key=lambda s: -s[0]):
         size, idx = heapq.heappop(heap)
         bins[idx][0].append(path)
         bins[idx][1].append(rg)
         bins[idx][2].append(lo)
         bins[idx][3].append(hi)
+        packed[idx] = size + cost
         heapq.heappush(heap, (size + cost, idx))
-    return bins
+    # heaviest bins first: partition index is (approximately) launch
+    # order, so descending cost = LPT list scheduling — when the bin
+    # count is not an exact slot multiple, the spill-over wave holds the
+    # CHEAPEST bins instead of random ones, bounding the tail
+    order = sorted(range(n), key=lambda i: (-packed[i], i))
+    return [bins[i] for i in order]
 
 
 # frames persisted by runs in this session, released via release_persisted()
@@ -623,13 +630,15 @@ def _media_branch(
         # per bin, round-robin → one bin per task). n is over-provisioned
         # 4× vs task slots so wave quantization stays ≤ ~1/4 wave.
         total_cost = sum(_split_cost_ms(rows, b) for _, _, b, rows in splits)
-        n = min(
-            4096,
-            max(
-                4 * spark.sparkContext.defaultParallelism,
-                int(total_cost // TARGET_COST_MS_PER_BIN) + 1,
-            ),
-        )
+        par = spark.sparkContext.defaultParallelism
+        raw = max(4 * par, int(total_cost // TARGET_COST_MS_PER_BIN) + 1)
+        # round the bin count UP to a slot multiple: LPT makes bins
+        # near-equal, so any remainder wave idles (slots - remainder)
+        # cores for a full bin length. Measured at 32 slots / 8000 docs:
+        # 136 bins = 4.25 waves cost ~4.5 s of a 25 s ideal stage wall
+        # (136 happens to be a multiple of 8 — the 8-core level never
+        # paid this, which masqueraded as poor 8->32 scaling)
+        n = min(4096, -(-raw // par) * par)
         bins = _lpt_pack(splits, n)
         # EXACTLY one bin per task: round-robin repartition(n) does NOT
         # guarantee this (each input slice starts at a random offset, so
