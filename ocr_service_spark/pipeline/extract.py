@@ -358,8 +358,13 @@ COST_MS_PER_ROW = 90.0
 COST_MS_PER_MB = 15.0
 # target estimated cost per bin: small enough that the final wave's
 # quantization error is a few percent of stage wall, large enough that
-# per-task overhead (~10 ms) stays negligible
-TARGET_COST_MS_PER_BIN = 5000.0
+# per-task overhead (~10 ms) stays negligible. Env-overridable so the
+# wave geometry can be tuned per deployment (more, smaller bins =
+# better LPT smoothing at high parallelism; fewer = less per-atom page
+# re-decode) without a code change.
+TARGET_COST_MS_PER_BIN = float(
+    os.environ.get("SPARK_GRAFT_BIN_TARGET_MS", "5000")
+)
 
 
 def _split_cost_ms(rows: int, nbytes: int) -> float:
