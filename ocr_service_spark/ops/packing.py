@@ -130,12 +130,117 @@ FROM per CROSS JOIN tot
 """
 
 
+TOKEN_BUDGET = 600      # tokens selected per source
+QUALITY_BAND_SHIFT = 12  # band = q >> 12 → ≤245 bands over q ∈ [0, 1e6]
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: per source, take the
+    highest-quality documents (quality desc, doc_id tiebreak) while the
+    source's running token total stays ≤ TOKEN_BUDGET — the "fill a
+    target token budget with the best data" step that sits between
+    curation scoring and shard packing in an LLM data pipeline.
+    Quality is the integer lexical-diversity score
+    floor(1e6 · distinct_tokens / tokens) so the ordering and the
+    reported cutoff are exact in both engines (no float-repr hazard).
+
+    Scale shape: the naive plan is `sum(tok) OVER (PARTITION BY source
+    ORDER BY q DESC)` — one reducer per source, which serializes a
+    billion-document source. Here the prefix sum is banded two-phase
+    (module docstring): per-(source, quality-band) partial sums collect
+    to the driver (sources × ≤245 bands rows — bounded by the source
+    catalog, independent of corpus size), exclusive offsets are computed
+    walking each source's bands from the top, and — the budget-specific
+    win — bands whose offset already meets the budget are pruned BEFORE
+    the window, so the only window work left is the ~budget-sized head
+    of each source. The full corpus is touched exactly once, by the
+    map-side-combined partial aggregate. The DuckDB oracle runs the
+    single-reducer window this plan avoids."""
+    toks = F.size(F.split("text", " "))
+    q = F.floor(
+        F.lit(1000000.0) * F.size(F.array_distinct(F.split("text", " "))) / toks
+    )
+    # materialize the scored projection once (the q_sequence_packing
+    # pattern): both the partial-sum job and the window pass read it,
+    # and it is 4 scalars/doc vs re-tokenizing the full text twice
+    t = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            toks.alias("tok"),
+            q.cast("long").alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = t.withColumn("band", F.shiftright("q", QUALITY_BAND_SHIFT))
+    partials = b.groupBy("source", "band").agg(F.sum("tok").alias("btok")).collect()
+    per_src: dict[str, list] = {}
+    for r in partials:
+        per_src.setdefault(r["source"], []).append((r["band"], r["btok"]))
+    offsets = []
+    for src, rows in per_src.items():
+        run = 0
+        for band, btok in sorted(rows, key=lambda x: -x[0]):
+            if run < TOKEN_BUDGET:  # band-prune: full bands past the
+                offsets.append((src, band, run))  # budget never reach the window
+            run += btok
+    if not offsets:  # empty corpus: stable schema
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs_selected long, "
+            "tokens_selected long, cutoff_q long",
+        )
+    off_df = spark.createDataFrame(offsets, "source string, band long, boff long")
+    w = (
+        Window.partitionBy("source", "band")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.join(F.broadcast(off_df), ["source", "band"]).withColumn(
+        "gcum", F.col("boff") + F.sum("tok").over(w)
+    )
+    return (
+        cum.where(F.col("gcum") <= TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_selected"),
+            F.sum("tok").alias("tokens_selected"),
+            F.min("q").alias("cutoff_q"),
+        )
+    )
+
+
+_ORACLE_BUDGET = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS tok,
+         CAST(floor(1000000.0 * len(list_distinct(string_split(text, ' ')))
+                    / len(string_split(text, ' '))) AS BIGINT) AS q
+  FROM documents
+),
+c AS (
+  SELECT source, tok, q,
+         sum(tok) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS gcum
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs_selected,
+       CAST(sum(tok) AS BIGINT) AS tokens_selected,
+       min(q) AS cutoff_q
+FROM c WHERE gcum <= {TOKEN_BUDGET} GROUP BY source
+"""
+
+
 QUERIES = {
     "sequence_packing": q_sequence_packing,
     "source_mixture_weights": q_source_mixture_weights,
+    "token_budget_select": q_token_budget_select,
 }
 
 ORACLES = {
     "sequence_packing": _ORACLE_PACKING,
     "source_mixture_weights": _ORACLE_MIXTURE,
+    "token_budget_select": _ORACLE_BUDGET,
 }

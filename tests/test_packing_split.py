@@ -155,3 +155,75 @@ def test_packing_empty_corpus(spark, tmp_path):
     out = q_sequence_packing(spark, str(tmp_path))
     assert out.count() == 0
     assert out.columns == ["shard_id", "n_docs", "shard_tokens"]
+
+
+def test_token_budget_select_equals_naive_window(spark):
+    """The band-pruned two-phase budget selection must equal the naive
+    single-reducer per-source window it replaces, source for source."""
+    from ocr_service_spark.ops import load
+    from ocr_service_spark.ops.packing import TOKEN_BUDGET, q_token_budget_select
+
+    banded = {
+        r["source"]: (r["n_docs_selected"], r["tokens_selected"], r["cutoff_q"])
+        for r in q_token_budget_select(spark, SF_DIR).collect()
+    }
+    toks = F.size(F.split("text", " "))
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id",
+        "source",
+        toks.alias("tok"),
+        F.floor(
+            F.lit(1000000.0) * F.size(F.array_distinct(F.split("text", " "))) / toks
+        ).alias("q"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = {
+        r["source"]: (r["n"], r["tok"], r["cq"])
+        for r in (
+            docs.withColumn("gcum", F.sum("tok").over(w))
+            .where(F.col("gcum") <= TOKEN_BUDGET)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("tok").alias("tok"),
+                F.min("q").alias("cq"),
+            )
+        ).collect()
+    }
+    assert banded == naive
+    assert banded  # the sf0.001 corpus fills every source's budget head
+    assert all(tok <= TOKEN_BUDGET for _, tok, _ in banded.values())
+
+
+def test_token_budget_select_planted(spark, tmp_path):
+    """Planted corpus: selection is quality-first and budget-strict — a
+    low-quality doc is skipped once the budget is full, and a source
+    whose best doc alone exceeds the budget yields no row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_service_spark.ops.packing import TOKEN_BUDGET, q_token_budget_select
+
+    hi = " ".join(f"w{i}" for i in range(400))          # q = 1e6, 400 tok
+    mid = " ".join(f"w{i % 100}" for i in range(200))   # q = 5e5, 200 tok
+    lo = " ".join("dup" for _ in range(300))            # q ≈ 3333, 300 tok
+    huge = " ".join(f"u{i}" for i in range(TOKEN_BUDGET + 1))
+    rows = {
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([hi, mid, lo, huge], pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["a", "a", "a", "b"], pa.string()),
+        "n_chars": pa.array([len(hi), len(mid), len(lo), len(huge)], pa.int64()),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: (r["n_docs_selected"], r["tokens_selected"], r["cutoff_q"])
+        for r in q_token_budget_select(spark, str(tmp_path)).collect()
+    }
+    # source a: hi (400) + mid (200) = 600 ≤ budget; lo would overflow.
+    # source b: its only doc is 601 tokens > budget → no row at all.
+    assert out == {"a": (2, 600, 500000)}
