@@ -53,6 +53,7 @@ AUDIT = {
     "priority_sample": "documents",        # TakeOrdered top-(k+1), no global sort (r4)
     "frequent_ngrams": "documents",        # MG candidates + exact recount (r4)
     "curation_pipeline": "documents",      # composite funnel, per-stage aggs (r4)
+    "token_budget_select": "documents",    # band-pruned per-source prefix (r5)
     "semantic_decontam": "embeddings",     # broadcast panel, 1 row out per row in (r4)
     # embeddings-driven (4x)
     "embedding_neardup": "embeddings",     # corpus-sized LSH blocking
@@ -97,7 +98,7 @@ def _table_rows(sf_dir: str, table: str) -> int:
     return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
 
 
-def measure(sf_dir: str) -> dict[str, int]:
+def measure(sf_dir: str, names=None) -> dict[str, int]:
     """One fresh session; per-query shuffle-write deltas."""
     from ocr_service_spark.queries import queries
     from ocr_service_spark.session import get_spark
@@ -107,7 +108,7 @@ def measure(sf_dir: str) -> dict[str, int]:
     spark.range(16).repartition(8).mapInPandas(lambda it: it, "id long").count()
     qs = queries()
     out: dict[str, int] = {}
-    for name in AUDIT:
+    for name in names or AUDIT:
         before = _snapshot(spark)
         qs[name](spark, sf_dir).collect()
         out[name] = _snapshot(spark) - before
@@ -121,12 +122,24 @@ def measure(sf_dir: str) -> dict[str, int]:
 
 
 def main() -> int:
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    b_small = measure(small)
-    b_big = measure(big)
+    args = list(sys.argv[1:])
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = [n for n in args[i + 1].split(",") if n]
+        del args[i : i + 2]
+        unknown = set(only) - set(AUDIT)
+        if unknown:
+            print(f"--only names not in AUDIT: {sorted(unknown)}")
+            return 2
+    small = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    big = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    b_small = measure(small, only)
+    b_big = measure(big, only)
     rows = []
     for name, table in AUDIT.items():
+        if only is not None and name not in only:
+            continue
         in_ratio = _table_rows(big, table) / max(_table_rows(small, table), 1)
         s, b = b_small[name], b_big[name]
         ratio = (b / s) if s else None
@@ -146,8 +159,20 @@ def main() -> int:
             "bytes_ratio": round(ratio, 2) if ratio is not None else None,
             "verdict": verdict,
         })
-    with open(os.path.join(REPO, "SHUFFLE.json"), "w") as fh:
-        json.dump({"sf_small": small, "sf_big": big, "rows": rows}, fh, indent=1)
+    path = os.path.join(REPO, "SHUFFLE.json")
+    if only is not None and os.path.exists(path):
+        # single-query refresh: splice the re-measured rows into the
+        # committed audit (AUDIT order) instead of dropping the rest
+        with open(path) as fh:
+            doc = json.load(fh)
+        merged = {r["query"]: r for r in doc.get("rows", [])}
+        merged.update({r["query"]: r for r in rows})
+        doc["rows"] = [merged[n] for n in AUDIT if n in merged]
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=1)
+    else:
+        with open(path, "w") as fh:
+            json.dump({"sf_small": small, "sf_big": big, "rows": rows}, fh, indent=1)
     w = max(len(r["query"]) for r in rows)
     print(f"{'query':{w}}  table       in-ratio  bytes@small  bytes@big  ratio  verdict")
     for r in rows:
