@@ -146,6 +146,7 @@ HEADLINE = [
     "volume_anomalies",
     "sequence_packing",
     "source_mixture_weights",
+    "token_budget_select",
     "ann_ivfpq_multiprobe",
     "source_overlap_matrix",
     "minhash_lsh_recall",
