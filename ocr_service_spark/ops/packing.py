@@ -147,15 +147,19 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the naive plan is `sum(tok) OVER (PARTITION BY source
     ORDER BY q DESC)` — one reducer per source, which serializes a
     billion-document source. Here the prefix sum is banded two-phase
-    (module docstring): per-(source, quality-band) partial sums collect
-    to the driver (sources × ≤245 bands rows — bounded by the source
-    catalog, independent of corpus size), exclusive offsets are computed
-    walking each source's bands from the top, and — the budget-specific
-    win — bands whose offset already meets the budget are pruned BEFORE
-    the window, so the only window work left is the ~budget-sized head
-    of each source. The full corpus is touched exactly once, by the
-    map-side-combined partial aggregate. The DuckDB oracle runs the
-    single-reducer window this plan avoids."""
+    (module docstring), and — unlike the global prefix in
+    q_sequence_packing, which has no partition key and must collect its
+    bucket partials — the band offsets stay fully distributed: the
+    per-(source, quality-band) partial-sum frame is sources × ≤245
+    bands rows (independent of corpus size), and each source's
+    exclusive band offsets are a window over its ≤245 partial rows.
+    The budget-specific win: bands whose offset already meets the
+    budget are pruned BEFORE the corpus-side window, so the only sort
+    work left is the ~budget-sized head of each source. The full corpus
+    is touched exactly once, by the map-side-combined partial
+    aggregate, and nothing sources×bands-shaped ever reaches the
+    driver. The DuckDB oracle runs the single-reducer window this plan
+    avoids."""
     toks = F.size(F.split("text", " "))
     q = F.floor(
         F.lit(1000000.0) * F.size(F.array_distinct(F.split("text", " "))) / toks
@@ -174,24 +178,25 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     b = t.withColumn("band", F.shiftright("q", QUALITY_BAND_SHIFT))
-    partials = b.groupBy("source", "band").agg(F.sum("tok").alias("btok")).collect()
-    per_src: dict[str, list] = {}
-    for r in partials:
-        per_src.setdefault(r["source"], []).append((r["band"], r["btok"]))
-    offsets = []
-    for src, rows in per_src.items():
-        run = 0
-        for band, btok in sorted(rows, key=lambda x: -x[0]):
-            if run < TOKEN_BUDGET:  # band-prune: full bands past the
-                offsets.append((src, band, run))  # budget never reach the window
-            run += btok
-    if not offsets:  # empty corpus: stable schema
-        return spark.createDataFrame(
-            [],
-            "source string, n_docs_selected long, "
-            "tokens_selected long, cutoff_q long",
+    partials = b.groupBy("source", "band").agg(F.sum("tok").alias("btok"))
+    # exclusive offset = tokens in all strictly-higher bands of the same
+    # source: a window over the statistics-sized partials frame (≤245
+    # rows per source partition). Band-prune: a band whose offset
+    # already meets the budget cannot contribute a selected doc
+    # (gcum ≥ boff + 1 > budget), so the inner join below drops its
+    # corpus rows before the sort.
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_df = (
+        partials.withColumn(
+            "boff", F.coalesce(F.sum("btok").over(w_off), F.lit(0))
         )
-    off_df = spark.createDataFrame(offsets, "source string, band long, boff long")
+        .where(F.col("boff") < TOKEN_BUDGET)
+        .select("source", "band", "boff")
+    )
     w = (
         Window.partitionBy("source", "band")
         .orderBy(F.desc("q"), F.asc("doc_id"))
