@@ -241,10 +241,25 @@ def orchestrate(
 
         pyfiles_zip = build(os.path.join(REPO, "dist", "ocr_service_spark.zip"))
 
-    runs = []
-    for cores in levels:
-        best = None
-        for trial in range(trials):
+    # per-run GEMM load probe: the sandbox VM's noise operates on a
+    # multi-minute timescale, so a burst mid-sweep can sit entirely on
+    # one level's trials and fabricate (or destroy) an efficiency ratio.
+    # Embedding the concurrently-measured probe factor per run makes a
+    # contaminated level self-evident in the artifact.
+    import bench as _bench
+
+    def probe_factor() -> float:
+        return round(_bench._gemm_control(32) / _bench.GEMM_CONTROL_REF_S, 3)
+
+    best_by_core: dict[int, dict] = {}
+    # trials loop OUTSIDE levels, alternating direction: back-to-back
+    # trials of one level share any noise burst; interleaving decorrelates
+    # window noise from level identity so best-of-trials has a real shot
+    # at one quiet sample per level.
+    for trial in range(trials):
+        order = list(levels) if trial % 2 == 0 else list(reversed(levels))
+        for cores in order:
+            factor = probe_factor()
             if surface == "spark-submit":
                 # spark-submit starts the JVM itself, so the heap/GC
                 # settings session.py's builder would apply MUST ride
@@ -275,12 +290,20 @@ def orchestrate(
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
-            print(f"local[{cores}] trial {trial}: {line}", file=sys.stderr)
+            r["probe_factor"] = factor
+            print(
+                f"local[{cores}] trial {trial} (probe {factor}): {line}",
+                file=sys.stderr,
+            )
             # best-of-trials: this sandbox VM's throughput is noisy (±10%
             # run to run — neighbors, khugepaged); the max estimates true
             # capability at each level
+            best = best_by_core.get(cores)
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                best = r
+                best_by_core[cores] = r
+    runs = []
+    for cores in levels:
+        best = best_by_core[cores]
         best["trials"] = trials
         runs.append(best)
 
