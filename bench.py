@@ -157,6 +157,8 @@ HEADLINE = [
     "touch_attribution",
     "neardup_pagerank",
     "shuffle_key_skew",
+    "gopher_quality_rules",
+    "neardup_canonical",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

@@ -1346,3 +1346,61 @@ cand AS (
 
 EXTRA_QUERIES["neardup_pagerank"] = q_neardup_pagerank
 EXTRA_ORACLES["neardup_pagerank"] = _pagerank_sql()
+
+
+# --------------------------------------------------------------------------
+# canonical-document selection (round 5)
+# --------------------------------------------------------------------------
+# Real pipelines do not drop near-duplicates at random: within each
+# duplicate cluster they KEEP THE BEST COPY (longest, highest-quality —
+# the "canonical" selection step of URL-canonicalization / CC-style
+# dedup; cf. Lee et al. 2022 "Deduplicating Training Data Makes
+# Language Models Better" §3, which keeps one exemplar per cluster).
+# Cluster key: the md5 prefix fingerprint (same blocking key as
+# fingerprint_clusters); keep policy: longest text wins, doc_id breaks
+# ties deterministically.
+
+
+def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep/drop accounting of canonical selection. Scale
+    shape: ONE shuffle keyed by the cluster fingerprint (row_number
+    window over fp partitions — clusters are prefix-blocks, thousands of
+    docs at most, so no partition skew), then one per-source aggregate.
+    No driver-side state, no cross-cluster dependency."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 3), " "))
+    w = W.partitionBy("fp").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", fp.alias("fp")
+    ).withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_keepers"),
+        F.sum((F.col("rn") != 1).cast("long")).alias("n_dropped"),
+        F.round(
+            F.avg(F.when(F.col("rn") == 1, F.col("n_chars"))), 2
+        ).alias("avg_keeper_chars"),
+    )
+
+
+_ORACLE_CANONICAL = """
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         row_number() OVER (
+           PARTITION BY md5(array_to_string(string_split(text, ' ')[1:3], ' '))
+           ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+       CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       round(avg(CASE WHEN rn = 1 THEN n_chars END), 2) AS avg_keeper_chars
+FROM ranked
+GROUP BY source
+"""
+
+EXTRA_QUERIES["neardup_canonical"] = q_neardup_canonical
+EXTRA_ORACLES["neardup_canonical"] = _ORACLE_CANONICAL

@@ -1685,3 +1685,132 @@ FROM j, tot
 
 EXTRA_QUERIES["curation_pipeline"] = q_curation_pipeline
 EXTRA_ORACLES["curation_pipeline"] = _cpipe_sql()
+
+
+# --------------------------------------------------------------------------
+# Gopher quality-rule panel (round 5)
+# --------------------------------------------------------------------------
+# The published document-quality filter set from Rae et al. 2021
+# ("Scaling Language Models: ... Gopher", Appendix A1.1), reported as a
+# per-rule pass/fail panel — the diagnostic view a curation team reads
+# before picking thresholds, rather than a single opaque keep flag.
+# Thresholds marked "adapted" are rescaled to this corpus's synthetic
+# 10-99-word documents; the rule STRUCTURE is Gopher's.
+GOPHER_MIN_WORDS = 20        # Gopher: 50 (adapted to the small docs)
+GOPHER_MAX_WORDS = 100_000   # Gopher: 100,000
+GOPHER_MEAN_WL = (3.0, 10.0)  # Gopher: mean word length in [3, 10]
+GOPHER_ALPHA_FRAC = 0.8      # Gopher: ≥80% words contain an alphabetic char
+GOPHER_SYMBOL_RATIO = 0.1    # Gopher: (# of '#' or '…') / words ≤ 0.1
+GOPHER_STOPWORDS = ("the", "a")  # Gopher: ≥2 of 8 function words (adapted
+#                                  to this corpus's 31-word vocabulary)
+GOPHER_UNIQUE_FRAC = 0.5     # repetition family: distinct/total words
+_GOPHER_RULES = (
+    "word_count", "mean_word_len", "alpha_word_frac",
+    "symbol_ratio", "stopword_hits", "unique_word_frac", "all_rules",
+)
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus scan → seven (rule, n_pass, n_fail, pass_rate) rows.
+    Every rule is a native column expression (whole-stage codegen; no
+    Python), the panel is ONE fixed-width global aggregate (map-side
+    partial → 7-value final row), and the row pivot is a constant-size
+    stack over that single row — at 100 TB this is exactly one scan and
+    one all-to-one exchange of 8 numbers."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_words = F.size(tokens)
+    nw = n_words.cast("double")
+    mean_wl = F.length(F.translate(F.col("text"), " ", "")) / nw
+    alpha_frac = F.size(F.filter(tokens, lambda t: t.rlike("[A-Za-z]"))) / nw
+    sym_ratio = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")) / nw
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    uniq_frac = F.size(F.array_distinct(tokens)) / nw
+    flags = [
+        ((n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)),
+        ((mean_wl >= GOPHER_MEAN_WL[0]) & (mean_wl <= GOPHER_MEAN_WL[1])),
+        (alpha_frac >= GOPHER_ALPHA_FRAC),
+        (sym_ratio <= GOPHER_SYMBOL_RATIO),
+        (stop_hits >= 2),
+        (uniq_frac >= GOPHER_UNIQUE_FRAC),
+    ]
+    all_rules = flags[0]
+    for fl in flags[1:]:
+        all_rules = all_rules & fl
+    flags.append(all_rules)
+    flagged = docs.select(
+        *[fl.cast("long").alias(r) for r, fl in zip(_GOPHER_RULES, flags)]
+    )
+    agg = flagged.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        *[F.sum(r).alias(r) for r in _GOPHER_RULES],
+    )
+    stack_args = ", ".join(f"'{r}', {r}" for r in _GOPHER_RULES)
+    return agg.selectExpr(
+        f"stack({len(_GOPHER_RULES)}, {stack_args}) as (rule, n_pass)",
+        "n_docs",
+    ).select(
+        "rule",
+        "n_pass",
+        (F.col("n_docs") - F.col("n_pass")).alias("n_fail"),
+        F.round(F.col("n_pass") / F.col("n_docs"), 4).alias("pass_rate"),
+    )
+
+
+_gopher_flag_sql = {
+    "word_count": (
+        f"CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} "
+        "THEN 1 ELSE 0 END"
+    ),
+    "mean_word_len": (
+        f"CASE WHEN mwl BETWEEN {GOPHER_MEAN_WL[0]} AND {GOPHER_MEAN_WL[1]} "
+        "THEN 1 ELSE 0 END"
+    ),
+    "alpha_word_frac": f"CASE WHEN alpha_frac >= {GOPHER_ALPHA_FRAC} THEN 1 ELSE 0 END",
+    "symbol_ratio": f"CASE WHEN sym_ratio <= {GOPHER_SYMBOL_RATIO} THEN 1 ELSE 0 END",
+    "stopword_hits": "CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END",
+    "unique_word_frac": f"CASE WHEN uniq_frac >= {GOPHER_UNIQUE_FRAC} THEN 1 ELSE 0 END",
+}
+_gopher_flag_sql["all_rules"] = " * ".join(
+    f"({v})" for v in _gopher_flag_sql.values()
+)
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+_ORACLE_GOPHER = f"""
+WITH feat AS (
+  SELECT len(string_split(text, ' ')) AS n_words,
+         length(replace(text, ' ', ''))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl,
+         len(list_filter(string_split(text, ' '),
+                         t -> regexp_matches(t, '[A-Za-z]')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS alpha_frac,
+         len(regexp_extract_all(text, '#|\\.\\.\\.'))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sym_ratio,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+                            {_GOPHER_STOP_SQL})) AS stop_hits,
+         len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_frac
+  FROM documents
+),
+flags AS (
+  SELECT {", ".join(f"{v} AS {r}" for r, v in _gopher_flag_sql.items())}
+  FROM feat
+),
+agg AS (
+  SELECT count(*) AS n_docs,
+         {", ".join(f"CAST(sum({r}) AS BIGINT) AS {r}" for r in _GOPHER_RULES)}
+  FROM flags
+)
+{" UNION ALL ".join(
+    f"SELECT '{r}' AS rule, {r} AS n_pass, n_docs - {r} AS n_fail, "
+    f"round({r} / CAST(n_docs AS DOUBLE), 4) AS pass_rate FROM agg"
+    for r in _GOPHER_RULES
+)}
+"""
+
+EXTRA_QUERIES["gopher_quality_rules"] = q_gopher_rules
+EXTRA_ORACLES["gopher_quality_rules"] = _ORACLE_GOPHER
