@@ -4,7 +4,7 @@
 # BENCH_scaling.json and the BENCH.md header on every run).
 #
 # One attempt per invocation: probe the GEMM host-load control; when the
-# window is quiet (< 1.2) back up both artifacts and run the full
+# window is quiet (< $1, default 1.2) back up both artifacts and run the full
 # 4-level sweep DETACHED (it exceeds short command timeouts), then keep
 # the new capture only if BOTH the headline raw 8->32 efficiency and
 # the physical-regime 4->16 efficiency improve (a loaded low level
@@ -12,13 +12,14 @@
 # restore the backups. Status lands in /tmp/sweep_status.txt; the
 # detached log in /tmp/sweep.log.
 cd "$(dirname "$0")/.."
+THRESH=${1:-1.2}
 FACTOR=$(python3 -c "
 import bench
 w = bench._gemm_control(32)
 print(round(w/bench.GEMM_CONTROL_REF_S, 3))
 ")
 echo "probe factor $FACTOR"
-GOOD=$(python3 -c "print(1 if $FACTOR < 1.2 else 0)")
+GOOD=$(python3 -c "print(1 if $FACTOR < $THRESH else 0)")
 if [ "$GOOD" != "1" ]; then
   echo "window loaded; not sweeping" | tee /tmp/sweep_status.txt
   exit 1
