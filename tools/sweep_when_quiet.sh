@@ -29,6 +29,7 @@ cp BENCH.md /tmp/sweep_keep_bench.md
 cat > /tmp/sweep_compare.py <<'PYEOF'
 import json
 import shutil
+import subprocess
 
 new = json.load(open("BENCH_scaling.json"))
 old = json.load(open("/tmp/sweep_keep_scaling.json"))
@@ -44,8 +45,15 @@ if better:
         f"(normalized {new.get('scaling_efficiency_normalized')})\n"
     )
 else:
-    shutil.copy("/tmp/sweep_keep_scaling.json", "BENCH_scaling.json")
-    shutil.copy("/tmp/sweep_keep_bench.md", "BENCH.md")
+    # restore from git HEAD, not the launch-time backup: a commit that
+    # lands while the detached sweep runs (kept artifacts are committed
+    # promptly) would be silently clobbered by the stale /tmp copy
+    rc = subprocess.run(
+        ["git", "checkout", "--", "BENCH_scaling.json", "BENCH.md"]
+    ).returncode
+    if rc:
+        shutil.copy("/tmp/sweep_keep_scaling.json", "BENCH_scaling.json")
+        shutil.copy("/tmp/sweep_keep_bench.md", "BENCH.md")
     msg = (
         f"restored: new physical {newp} vs {oldp}, headline {newh} vs "
         f"{oldh}, passes={new.get('passes')} - not strictly better\n"
