@@ -159,6 +159,8 @@ HEADLINE = [
     "shuffle_key_skew",
     "gopher_quality_rules",
     "neardup_canonical",
+    "bm25_retrieval",
+    "winnowing_fingerprints",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

@@ -208,3 +208,55 @@ def test_curation_pipeline_partition_invariant(spark, monkeypatch):
         tuple(r) for r in textstats.q_curation_pipeline(spark, sf).collect()
     )
     assert alt == base
+
+
+def test_winnowing_shared_run_guarantee(spark, tmp_path):
+    """Schleimer et al.'s core guarantee: two documents sharing a token
+    run of length >= w + k - 1 (= 6 here) must share at least one
+    fingerprint; a doc from a disjoint vocabulary shares none. Also pins
+    the density bound direction (fingerprints <= k-grams) and the
+    short-doc edge (fewer than k tokens -> zero grams, no crash)."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    rows = [
+        (1, "en", f"one two {shared} three four"),
+        (2, "en", f"{shared} five six seven eight nine"),
+        (3, "en", "p q r s t u v w x y z"),
+        (4, "en", "xy zz"),  # < k tokens: no k-grams
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in textstats.q_winnowing_fingerprints(spark, str(out)).collect()
+    }
+    assert got[1]["n_shared"] >= 1 and got[2]["n_shared"] >= 1
+    assert got[3]["n_shared"] == 0
+    assert got[4]["n_kgrams"] == 0 and got[4]["n_fingerprints"] == 0
+    for d in (1, 2, 3):
+        assert 1 <= got[d]["n_fingerprints"] <= got[d]["n_kgrams"]
+
+
+def test_bm25_ranks_tf_and_length(spark, tmp_path):
+    """Hand-checkable BM25 ordering: with equal doc lengths, more query-
+    term hits rank higher; a doc with zero query terms is absent from
+    the result entirely."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    filler = "x y z p q r"
+    rows = [
+        (1, "en", "spark spark merge " + filler),   # 3 hits
+        (2, "en", "spark a b c " + filler + " d e"),  # 1 hit, longer
+        (3, "en", "no query words here at all " + filler),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    got = textstats.q_bm25_retrieval(spark, str(out)).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] == 1  # most hits wins
+    assert 3 not in ids  # no matching term, no score
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    assert all(got[i]["score"] >= got[i + 1]["score"] for i in range(len(got) - 1))

@@ -55,6 +55,8 @@ AUDIT = {
     "curation_pipeline": "documents",      # composite funnel, per-stage aggs (r4)
     "token_budget_select": "documents",    # band-pruned per-source prefix (r5)
     "gopher_quality_rules": "documents",   # one scan, 8-number final agg (r5)
+    "bm25_retrieval": "documents",         # query-term-filtered tf (r5)
+    "winnowing_fingerprints": "documents", # row-local selection (r5)
     "neardup_canonical": "documents",      # one fp-keyed window shuffle (r5)
     "semantic_decontam": "embeddings",     # broadcast panel, 1 row out per row in (r4)
     # embeddings-driven (4x)
