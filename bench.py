@@ -161,6 +161,7 @@ HEADLINE = [
     "neardup_canonical",
     "bm25_retrieval",
     "winnowing_fingerprints",
+    "rrf_hybrid_retrieval",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

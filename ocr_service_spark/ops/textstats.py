@@ -1830,17 +1830,10 @@ BM25_B = 0.75
 BM25_TOP_K = 20
 
 
-def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-k retrieval for a fixed query-term set.
-
-    Shape: the term explode is filtered to the |Q| query terms BEFORE
-    any aggregation, so the tf shuffle carries only matching (doc, term)
-    pairs — a |Q|/|V| sliver of the corpus. df is a |Q|-row aggregate
-    (broadcast), N + avgdl one fixed-width global aggregate (broadcast
-    scalar), and the final top-k is orderBy+limit, which Spark executes
-    as TakeOrdered (per-partition heaps → k rows to the driver), never a
-    global sort materialization. One corpus scan for doc lengths, one
-    for matching terms; both survive 100 TB unchanged."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) for every document matching >= 1 query term —
+    the shared scoring core of q_bm25_retrieval and the RRF fusion's
+    lexical arm."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     doclen = docs.select(
@@ -1870,15 +1863,29 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "term")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(glob))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
     )
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query-term set.
+
+    Shape: the term explode is filtered to the |Q| query terms BEFORE
+    any aggregation, so the tf shuffle carries only matching (doc, term)
+    pairs — a |Q|/|V| sliver of the corpus. df is a |Q|-row aggregate
+    (broadcast), N + avgdl one fixed-width global aggregate (broadcast
+    scalar), and the final top-k is orderBy+limit, which Spark executes
+    as TakeOrdered (per-partition heaps → k rows to the driver), never a
+    global sort materialization. One corpus scan for doc lengths, one
+    for matching terms; both survive 100 TB unchanged."""
     from pyspark.sql import Window as W
 
+    scored = _bm25_scored(spark, sf_dir)
     ranked = scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP_K)
     return ranked.select(
         F.row_number()
@@ -1890,8 +1897,10 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS) + "]"
-_ORACLE_BM25 = f"""
-WITH dl AS (
+# shared WITH-body: (doc_id, score) for docs matching >= 1 query term;
+# reused verbatim by the RRF fusion oracle so both engines' lexical
+# arms are the same program
+_BM25_SCORED_CTES = f"""dl AS (
   SELECT doc_id,
          len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
   FROM documents
@@ -1912,7 +1921,9 @@ s AS (
          ), 6) AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
   GROUP BY tf.doc_id
-)
+)"""
+_ORACLE_BM25 = f"""
+WITH {_BM25_SCORED_CTES}
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
        doc_id, score
 FROM s ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
@@ -2055,3 +2066,162 @@ FROM sel LEFT JOIN ns USING (doc_id)
 
 EXTRA_QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
 EXTRA_ORACLES["winnowing_fingerprints"] = _ORACLE_WINNOW
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank-fusion hybrid retrieval (round 5)
+# --------------------------------------------------------------------------
+# Cormack, Clarke & Buettcher, "Reciprocal Rank Fusion outperforms
+# Condorcet and individual Rank Learning Methods" (SIGIR 2009): fuse a
+# lexical arm (Okapi BM25 over the fixed query-term set) with a semantic
+# arm (exact cosine against a fixed query embedding) by summing
+# 1/(K + rank) over the arms' top-N pools — the standard first stage of
+# a hybrid RAG retriever. Ranks, not scores, cross the fusion boundary,
+# so the two arms' incomparable score scales never need calibration.
+RRF_K = 60       # the paper's constant
+RRF_POOL = 50    # per-arm candidate pool
+RRF_TOP_K = 20
+
+
+def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + embedding-cosine retrieval fused with RRF.
+
+    Output: (rank, doc_id, rrf_score, lex_rank, sem_rank); an arm rank
+    of 0 means the doc is outside that arm's pool (0, not NULL: the
+    report hasher reads results through pandas, where a nullable int
+    column silently becomes float64). The synthetic corpus
+    aligns embeddings.vec_id 1:1 with documents.doc_id.
+
+    Shape: each arm is its own bounded top-N (TakeOrdered per-partition
+    heaps -> N rows, never a global sort); fusion is a UNION of two
+    N-row frames + one tiny groupBy — no outer join, nothing
+    corpus-sized after the arms' scans. Cosines are rounded to 9
+    decimals before ranking (both engines) so pool membership and rank
+    order are engine-libm-independent."""
+    from pyspark.sql import Window as W
+
+    from .similarity import QUERY_VEC_ID, _as_double, _norm
+
+    lex_pool = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("score"), "doc_id"))
+            .alias("lex_rank"),
+        )
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), _norm("v").alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sem_pool = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (_norm("v") * F.col("qn")), 9).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos"), "doc_id"))
+            .alias("sem_rank"),
+        )
+    )
+    contribs = lex_pool.select(
+        "doc_id",
+        (F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank"))).alias("c"),
+        F.col("lex_rank").alias("lr"),
+        F.lit(None).cast("int").alias("sr"),
+    ).unionByName(
+        sem_pool.select(
+            "doc_id",
+            (F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank"))).alias("c"),
+            F.lit(None).cast("int").alias("lr"),
+            F.col("sem_rank").alias("sr"),
+        )
+    )
+    fused = contribs.groupBy("doc_id").agg(
+        F.round(F.sum("c"), 9).alias("rrf_score"),
+        F.coalesce(F.max("lr"), F.lit(0)).alias("lex_rank"),
+        F.coalesce(F.max("sr"), F.lit(0)).alias("sem_rank"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(RRF_TOP_K)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.desc("rrf_score"), "doc_id"))
+            .alias("rank"),
+            "doc_id",
+            "rrf_score",
+            "lex_rank",
+            "sem_rank",
+        )
+    )
+
+
+def _rrf_sql() -> str:
+    from .similarity import QUERY_VEC_ID
+
+    return f"""
+WITH {_BM25_SCORED_CTES},
+lexpool AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+           AS lex_rank
+  FROM s ORDER BY score DESC, doc_id LIMIT {RRF_POOL}
+),
+qv AS (
+  SELECT embedding AS qv,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+cosd AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_sum(list_transform(list_zip(e.embedding, qv.qv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * qv.qn),
+           9) AS cos
+  FROM embeddings e, qv
+),
+sempool AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+           AS sem_rank
+  FROM cosd ORDER BY cos DESC, doc_id LIMIT {RRF_POOL}
+),
+contribs AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / ({RRF_K} + lex_rank) AS c,
+         lex_rank AS lr, CAST(NULL AS INTEGER) AS sr
+  FROM lexpool
+  UNION ALL
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / ({RRF_K} + sem_rank) AS c,
+         CAST(NULL AS INTEGER) AS lr, sem_rank AS sr
+  FROM sempool
+),
+fused AS (
+  SELECT doc_id, round(sum(c), 9) AS rrf_score,
+         coalesce(max(lr), 0) AS lex_rank, coalesce(max(sr), 0) AS sem_rank
+  FROM contribs GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER)
+         AS rank,
+       doc_id, rrf_score, lex_rank, sem_rank
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP_K}
+"""
+
+
+EXTRA_QUERIES["rrf_hybrid_retrieval"] = q_rrf_hybrid_retrieval
+EXTRA_ORACLES["rrf_hybrid_retrieval"] = _rrf_sql()

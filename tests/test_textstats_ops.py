@@ -260,3 +260,36 @@ def test_bm25_ranks_tf_and_length(spark, tmp_path):
     assert 3 not in ids  # no matching term, no score
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
     assert all(got[i]["score"] >= got[i + 1]["score"] for i in range(len(got) - 1))
+
+
+def test_rrf_fusion_combines_arms(spark, tmp_path):
+    """A doc found by BOTH arms must outrank docs each arm ranks first
+    alone (1/61 + 1/63 > 1/61), and the 0 sentinel marks out-of-pool
+    arm ranks. vec 0 is the fixed query embedding (QUERY_VEC_ID)."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    docs = [
+        (0, "en", "no lexical hits here p q r"),
+        (1, "en", "spark merge window scan spark merge p q"),
+        (2, "en", "also zero hits s t u v w x"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    vecs = [
+        (0, [1.0, 0.0], 0),  # query vector
+        (1, [0.0, 1.0], 0),  # orthogonal: last semantic rank
+        (2, [1.0, 0.0], 0),  # cos 1 with the query
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(out / "embeddings.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in textstats.q_rrf_hybrid_retrieval(spark, str(out)).collect()
+    }
+    assert got[1]["rank"] == 1  # lex #1 + sem #3 beats any single arm
+    assert got[1]["lex_rank"] == 1 and got[1]["sem_rank"] == 3
+    assert got[0]["lex_rank"] == 0 and got[2]["lex_rank"] == 0  # sentinel
+    assert got[0]["sem_rank"] == 1  # self-similarity; tie broken by id
+    assert got[2]["sem_rank"] == 2

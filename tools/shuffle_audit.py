@@ -57,6 +57,7 @@ AUDIT = {
     "gopher_quality_rules": "documents",   # one scan, 8-number final agg (r5)
     "bm25_retrieval": "documents",         # query-term-filtered tf (r5)
     "winnowing_fingerprints": "documents", # row-local selection (r5)
+    "rrf_hybrid_retrieval": "documents",   # two bounded arm pools (r5)
     "neardup_canonical": "documents",      # one fp-keyed window shuffle (r5)
     "semantic_decontam": "embeddings",     # broadcast panel, 1 row out per row in (r4)
     # embeddings-driven (4x)
