@@ -162,6 +162,7 @@ HEADLINE = [
     "bm25_retrieval",
     "winnowing_fingerprints",
     "rrf_hybrid_retrieval",
+    "ks_drift",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

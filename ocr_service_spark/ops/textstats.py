@@ -2225,3 +2225,128 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP_K}
 
 EXTRA_QUERIES["rrf_hybrid_retrieval"] = q_rrf_hybrid_retrieval
 EXTRA_ORACLES["rrf_hybrid_retrieval"] = _rrf_sql()
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov source-drift panel (round 5)
+# --------------------------------------------------------------------------
+# The exact-distribution sibling of psi_drift's bucketed panel: for each
+# source, the two-sample KS statistic D = max_x |F_src(x) - F_rest(x)|
+# over the doc-length (n_chars) distribution, against the asymptotic
+# critical value c(alpha) * sqrt((n+m)/(n*m)) (Smirnov 1948;
+# c(0.05) = 1.358). PSI answers "how much did the histogram move";
+# KS answers "is this source's distribution different at all" with a
+# significance threshold and no bucketing choice.
+KS_C_ALPHA = 1.358  # c(0.05)
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample KS test of n_chars vs the rest of the corpus.
+
+    Output: (source, n_docs, ks_stat, critical_value, drifted).
+
+    Shape: ONE corpus aggregation to (source, value) counts; everything
+    after is statistics-sized — the ECDF windows run over the
+    sources × distinct-values grid (bounded by the value domain, here
+    doc lengths; an unbounded-domain variable would be bucketed first),
+    never over the corpus. F_rest is derived from the global ECDF as
+    (N·F_all − n_s·F_s)/(N − n_s), so no per-source anti-join or second
+    corpus pass exists."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    sv = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    vals = sv.groupBy("v").agg(F.sum("c").alias("cv"))
+    glob = vals.select(
+        "v",
+        F.sum("cv").over(W.orderBy("v")).alias("cum_all"),
+        F.sum("cv").over(W.partitionBy()).alias("n_all"),
+    )
+    sources = sv.groupBy("source").agg(F.sum("c").alias("n_s"))
+    grid = sources.crossJoin(vals.select("v"))
+    per_src = (
+        grid.join(sv, ["source", "v"], "left")
+        .fillna(0, subset=["c"])
+        .select(
+            "source",
+            "n_s",
+            "v",
+            F.sum("c")
+            .over(W.partitionBy("source").orderBy("v"))
+            .alias("cum_s"),
+        )
+    )
+    d = (
+        per_src.join(glob, "v")
+        .select(
+            "source",
+            "n_s",
+            "n_all",
+            (
+                F.abs(
+                    F.col("cum_s") / F.col("n_s")
+                    - (F.col("cum_all") - F.col("cum_s"))
+                    / (F.col("n_all") - F.col("n_s"))
+                )
+            ).alias("diff"),
+        )
+        .groupBy("source", "n_s", "n_all")
+        .agg(F.round(F.max("diff"), 6).alias("ks_stat"))
+    )
+    cv = F.round(
+        KS_C_ALPHA
+        * F.sqrt(
+            F.col("n_all").cast("double")
+            / (F.col("n_s") * (F.col("n_all") - F.col("n_s")))
+        ),
+        6,
+    )
+    return d.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        "ks_stat",
+        cv.alias("critical_value"),
+        (F.col("ks_stat") > cv).cast("int").alias("drifted"),
+    )
+
+
+_ORACLE_KS = f"""
+WITH sv AS (
+  SELECT source, n_chars AS v, count(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM sv GROUP BY 1),
+gall AS (
+  SELECT v, sum(cv) OVER (ORDER BY v) AS cum_all,
+         sum(cv) OVER () AS n_all
+  FROM vals
+),
+sources AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sv GROUP BY 1),
+grid AS (SELECT source, n_s, v FROM sources CROSS JOIN (SELECT v FROM vals)),
+per_src AS (
+  SELECT grid.source, grid.n_s, grid.v,
+         sum(coalesce(sv.c, 0))
+           OVER (PARTITION BY grid.source ORDER BY grid.v) AS cum_s
+  FROM grid LEFT JOIN sv ON grid.source = sv.source AND grid.v = sv.v
+),
+d AS (
+  SELECT source, n_s, n_all,
+         round(max(abs(
+           cum_s / CAST(n_s AS DOUBLE)
+           - (cum_all - cum_s) / CAST(n_all - n_s AS DOUBLE)
+         )), 6) AS ks_stat
+  FROM per_src JOIN gall USING (v)
+  GROUP BY 1, 2, 3
+)
+SELECT source, n_s AS n_docs, ks_stat,
+       round({KS_C_ALPHA} * sqrt(CAST(n_all AS DOUBLE)
+             / (n_s * (n_all - n_s))), 6) AS critical_value,
+       CAST(ks_stat > round({KS_C_ALPHA} * sqrt(CAST(n_all AS DOUBLE)
+             / (n_s * (n_all - n_s))), 6) AS INTEGER) AS drifted
+FROM d
+"""
+
+EXTRA_QUERIES["ks_drift"] = q_ks_drift
+EXTRA_ORACLES["ks_drift"] = _ORACLE_KS

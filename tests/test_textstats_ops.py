@@ -293,3 +293,24 @@ def test_rrf_fusion_combines_arms(spark, tmp_path):
     assert got[0]["lex_rank"] == 0 and got[2]["lex_rank"] == 0  # sentinel
     assert got[0]["sem_rank"] == 1  # self-similarity; tie broken by id
     assert got[2]["sem_rank"] == 2
+
+
+def test_ks_drift_flags_planted_source(spark, tmp_path):
+    """Sources A and B share an identical length distribution (D small,
+    under the critical value); source C sits on a disjoint length range
+    (D = 1) and must be the only one flagged."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    rows = (
+        [(i, "A", 10 + i % 40) for i in range(40)]
+        + [(100 + i, "B", 10 + i % 40) for i in range(40)]
+        + [(200 + i, "C", 1000 + i) for i in range(10)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    got = {r["source"]: r for r in textstats.q_ks_drift(spark, str(out)).collect()}
+    assert got["C"]["drifted"] == 1 and got["C"]["ks_stat"] == 1.0
+    assert got["A"]["drifted"] == 0 and got["B"]["drifted"] == 0
+    for r in got.values():
+        assert r["ks_stat"] <= 1.0 and r["critical_value"] > 0

@@ -58,6 +58,7 @@ AUDIT = {
     "bm25_retrieval": "documents",         # query-term-filtered tf (r5)
     "winnowing_fingerprints": "documents", # row-local selection (r5)
     "rrf_hybrid_retrieval": "documents",   # two bounded arm pools (r5)
+    "ks_drift": "documents",               # (source,value)-grid ECDFs (r5)
     "neardup_canonical": "documents",      # one fp-keyed window shuffle (r5)
     "semantic_decontam": "embeddings",     # broadcast panel, 1 row out per row in (r4)
     # embeddings-driven (4x)
