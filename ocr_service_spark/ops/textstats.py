@@ -2350,3 +2350,172 @@ FROM d
 
 EXTRA_QUERIES["ks_drift"] = q_ks_drift
 EXTRA_ORACLES["ks_drift"] = _ORACLE_KS
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity buckets (round 5)
+# --------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+# Datasets from Web Crawl Data") splits each language's documents into
+# head / middle / tail THIRDS by LM perplexity and trains on the head.
+# The reference service has no corpus-curation surface (it is per-image
+# OCR, services/gateway/src/services/images.ts); this operator is part
+# of the training-data catalog built on top of the extraction engine.
+# The LM is the corpus's own unigram model (the same construction as
+# q_unigram_logprob — an external KenLM is not available offline).
+_CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail perplexity thirds, CCNet-style.
+
+    Output: (lang, bucket, n_docs, avg_logprob, avg_ppl).
+
+    Shapes: ONE tf shuffle builds the unigram model; the model joins
+    back with no forced broadcast hint (AQE broadcasts it while small, a
+    web-scale vocabulary would not fit); one per-doc rollup produces the
+    score frame. Bucketing is ntile(3) over a per-lang window ordered by
+    (rounded score, doc_id) — rank-based, so engine float noise cannot
+    move a document across a bucket boundary (ties broken by doc_id).
+    Scale note: the per-lang window sorts each language's score rows in
+    one partition chain; at trillion-doc scale swap the exact ntile for
+    broadcast cutpoints from the quantile sketch (q_quantile_sketch) at
+    the cost of approximate thirds — the panel schema is unchanged."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = terms.groupBy("term").agg(F.count("*").alias("tc"))
+    tot = vocab.agg(F.sum("tc").alias("n_tok_corpus"))
+    per_doc = (
+        terms.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("tc") / F.col("n_tok_corpus"))), 6
+            ).alias("alp")
+        )
+    )
+    # higher mean logprob = lower perplexity = better (head)
+    tile = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(F.col("alp").desc(), F.col("doc_id"))
+    )
+    bucket = F.element_at(
+        F.array(*[F.lit(b) for b in _CCNET_BUCKETS]), tile
+    )
+    return (
+        per_doc.select("lang", "alp", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("alp"), 4).alias("avg_logprob"),
+            F.round(F.avg(F.exp(-F.col("alp"))), 4).alias("avg_ppl"),
+        )
+    )
+
+
+_ORACLE_CCNET = """
+WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+vocab AS (SELECT term, count(*) AS tc FROM t GROUP BY 1),
+tot AS (SELECT sum(tc) AS n FROM vocab),
+per_doc AS (
+  SELECT doc_id, lang, round(avg(ln(tc / CAST(n AS DOUBLE))), 6) AS alp
+  FROM t JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY 1, 2
+),
+tiled AS (
+  SELECT lang, alp,
+         ['head', 'middle', 'tail'][
+           ntile(3) OVER (PARTITION BY lang ORDER BY alp DESC, doc_id)
+         ] AS bucket
+  FROM per_doc
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       round(avg(alp), 4) AS avg_logprob,
+       round(avg(exp(-alp)), 4) AS avg_ppl
+FROM tiled GROUP BY 1, 2
+"""
+
+EXTRA_QUERIES["ccnet_ppl_buckets"] = q_ccnet_ppl_buckets
+EXTRA_ORACLES["ccnet_ppl_buckets"] = _ORACLE_CCNET
+
+
+# --------------------------------------------------------------------------
+# Per-domain frequency cap (round 5)
+# --------------------------------------------------------------------------
+# RefinedWeb / Dolma-style domain balancing: no single source may
+# contribute more than DOMAIN_CAP docs, survivors chosen by a
+# deterministic hash priority (so the sample is reproducible and
+# order-independent). The cap runs as a SKEW-PROOF two-stage top-k: a
+# per-(source, salt-bucket) window prunes each bucket to the cap, then
+# the global per-source window ranks the <= SALT*cap survivors. A
+# mega-domain therefore never assembles as one window partition — stage
+# 1 bounds every partition chain at corpus/|sources|/SALT rows and its
+# output at SALT*cap rows per source, no matter how skewed the domain
+# distribution is.
+DOMAIN_CAP = 20
+_DOMAIN_CAP_SALT = 8
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source at DOMAIN_CAP docs by hash priority.
+
+    Output: (source, n_docs, n_kept, min_pri, max_pri) — the priority
+    extremes of the kept set pin the exact survivor membership (not just
+    its size) under the value hash."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    pri = docs.select(
+        "source", F.md5(F.col("doc_id").cast("string")).alias("pri")
+    )
+    salt = md5_bucket("dcap:", F.col("pri"), _DOMAIN_CAP_SALT)
+    stage1 = (
+        pri.withColumn("salt", salt)
+        .withColumn(
+            "r1",
+            F.row_number().over(
+                W.partitionBy("source", "salt").orderBy("pri")
+            ),
+        )
+        .filter(F.col("r1") <= DOMAIN_CAP)
+    )
+    stage2 = stage1.withColumn(
+        "r2", F.row_number().over(W.partitionBy("source").orderBy("pri"))
+    )
+    kept = F.col("r2") <= DOMAIN_CAP
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    capped = stage2.filter(kept).groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("pri").alias("min_pri"),
+        F.max("pri").alias("max_pri"),
+    )
+    return totals.join(capped, "source").select(
+        "source", "n_docs", "n_kept", "min_pri", "max_pri"
+    )
+
+
+# the oracle needs no salt stage: a single row_number per source picks
+# the same survivor set the two-stage plan does (stage 1 only discards
+# rows that can never be in the global top-cap of their source)
+_ORACLE_DOMAIN_CAP = f"""
+WITH pri AS (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS pri FROM documents),
+ranked AS (
+  SELECT source, pri,
+         row_number() OVER (PARTITION BY source ORDER BY pri) AS r
+  FROM pri
+),
+totals AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT source, n_docs, count(*) AS n_kept,
+       min(pri) AS min_pri, max(pri) AS max_pri
+FROM ranked JOIN totals USING (source)
+WHERE r <= {DOMAIN_CAP}
+GROUP BY source, n_docs
+"""
+
+EXTRA_QUERIES["domain_cap_sample"] = q_domain_cap_sample
+EXTRA_ORACLES["domain_cap_sample"] = _ORACLE_DOMAIN_CAP

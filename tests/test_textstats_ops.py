@@ -314,3 +314,56 @@ def test_ks_drift_flags_planted_source(spark, tmp_path):
     assert got["A"]["drifted"] == 0 and got["B"]["drifted"] == 0
     for r in got.values():
         assert r["ks_stat"] <= 1.0 and r["critical_value"] > 0
+
+
+def test_ccnet_buckets_are_thirds_ordered_by_ppl(spark, tmp_path):
+    """Per lang: ntile thirds differ by at most one doc, and the head
+    bucket's mean logprob is >= the tail's (lower perplexity = head)."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    words = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i in range(21):
+        # doc i repeats word i%4: common words ('alpha' docs get boosted
+        # corpus frequency) produce higher mean logprob
+        rows.append((i, "en", " ".join([words[i % 4]] * (3 + i % 5))))
+    for i in range(8):
+        rows.append((100 + i, "de", " ".join(words[: 1 + i % 3])))
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    got = textstats.q_ccnet_ppl_buckets(spark, str(out)).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        sizes = [r["n_docs"] for r in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1  # ntile thirds
+        if "head" in buckets and "tail" in buckets:
+            assert buckets["head"]["avg_logprob"] >= buckets["tail"]["avg_logprob"]
+            assert buckets["head"]["avg_ppl"] <= buckets["tail"]["avg_ppl"]
+
+
+def test_domain_cap_keeps_global_top_cap_per_source(spark, tmp_path):
+    """The two-stage (salted) top-k must equal the single global top-cap
+    per source: n_kept = min(n_docs, cap), and the kept set's priority
+    extremes match a driver-side md5 sort."""
+    import hashlib
+
+    out = tmp_path / "sf"
+    out.mkdir()
+    rows = [(i, "big") for i in range(50)] + [(1000 + i, "small") for i in range(5)]
+    spark.createDataFrame(rows, "doc_id long, source string").coalesce(
+        1
+    ).write.parquet(str(out / "documents.parquet"))
+    got = {
+        r["source"]: r
+        for r in textstats.q_domain_cap_sample(spark, str(out)).collect()
+    }
+    assert got["big"]["n_docs"] == 50 and got["big"]["n_kept"] == textstats.DOMAIN_CAP
+    assert got["small"]["n_docs"] == 5 and got["small"]["n_kept"] == 5
+    pris = sorted(hashlib.md5(str(i).encode()).hexdigest() for i in range(50))
+    kept = pris[: textstats.DOMAIN_CAP]
+    assert got["big"]["min_pri"] == kept[0]
+    assert got["big"]["max_pri"] == kept[-1]
