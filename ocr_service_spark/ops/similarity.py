@@ -1548,3 +1548,202 @@ FROM scored GROUP BY label
 
 EXTRA_QUERIES["semantic_decontam"] = q_semantic_decontam
 EXTRA_ORACLES["semantic_decontam"] = _ORACLE_DECON
+
+
+# --- one-pass covariance (the PCA front end) ---------------------------------
+# Training-data pipelines run PCA over embedding corpora for whitening,
+# dimensionality reduction before clustering, and drift monitoring. The
+# expensive part at 100 TB is the covariance accumulation, and its
+# scale-correct Spark shape is the k-means model-update pattern: each
+# Arrow batch reduces to ONE d(d+1)/2-triangle of partial moments inside
+# a mapInPandas kernel (BLAS x.T @ x), so the corpus never shuffles and
+# the only exchange is (pairs x n_batches) moment rows into a (i, j)
+# groupBy. The eigendecomposition of the returned d x d matrix is
+# driver-side numpy (d is small by construction);
+# tests/test_late_round5_ops.py pins the PCA step on this query's output.
+COV_ROUND = 6
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance of the embedding corpus.
+
+    Output: (i, j, cov) with 1-based dims, i <= j, cov rounded to
+    COV_ROUND decimals (cross-engine float-noise kill, the KM_ROUND
+    rule). One row per dimension pair — d(d+1)/2 rows total."""
+    emb = load(spark, sf_dir, "embeddings")
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sx", T.DoubleType()),
+            T.StructField("sy", T.DoubleType()),
+            T.StructField("sxy", T.DoubleType()),
+        ]
+    )
+
+    def _partial_moments(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n, d = x.shape
+            g = x.T @ x  # BLAS, one pass
+            s = x.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int32"),
+                    "j": (ju + 1).astype("int32"),
+                    "n": np.full(len(iu), n, dtype="int64"),
+                    "sx": s[iu],
+                    "sy": s[ju],
+                    "sxy": g[iu, ju],
+                }
+            )
+
+    partials = emb.select("embedding").mapInPandas(_partial_moments, out_schema)
+    tot = partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return tot.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        # + 0.0 folds IEEE -0.0 (a legal round() output when the true
+        # covariance is a tiny negative) to +0.0 on both engines
+        (F.round(cov, COV_ROUND) + F.lit(0.0)).alias("cov"),
+    )
+
+
+_ORACLE_COV = f"""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT a.i, b.i AS j,
+       round((sum(a.v * b.v) - sum(a.v) * sum(b.v) / count(*))
+             / (count(*) - 1), {COV_ROUND}) + 0.0 AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+EXTRA_QUERIES["embedding_covariance"] = q_embedding_covariance
+EXTRA_ORACLES["embedding_covariance"] = _ORACLE_COV
+
+
+# --- SQ8 scalar quantization (per-dim uint8 codes + ADC probe) ---------------
+# The third quantizer family next to PQ (codebook per subspace) and IVF
+# (coarse cells): SQ8 stores each dimension as an 8-bit code against
+# per-dimension [min, max] trained from the corpus — FAISS
+# ScalarQuantizer QT_8bit. 4x smaller than float32 with near-exact
+# recall, and the train step is ONE map-side-combined (dim, min, max)
+# aggregation (64 groups), not a k-means. The probe is asymmetric:
+# integer code differences scaled per dimension, so the distance is a
+# deterministic fold over 64 integer-derived terms (rounded before
+# ranking, the PQ_ROUND rule).
+SQ8_LEVELS = 255
+
+
+def q_ann_sq8_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K neighbors of QUERY_VEC_ID under SQ8 asymmetric distance.
+
+    Output: (rank, vec_id) — the knn_bruteforce contract, so recall vs
+    the exact arm is a join away. Codes: floor((x - mn) / (mx - mn) *
+    255) clamped to [0, 255]; flat dims (mx == mn) code to 0 and
+    contribute zero distance. Distance: sum_k ((cq_k - cc_k) *
+    (mx_k - mn_k) / 255)^2, rounded to 6 before the (dist, vec_id)
+    ordering."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    stats = (
+        emb.select(F.posexplode("v").alias("k", "x"))
+        .groupBy("k")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    packed = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("k", "mn", "mx"))
+        ).alias("smm")
+    ).select(
+        F.transform("smm", lambda s: s["mn"]).alias("mns"),
+        F.transform("smm", lambda s: s["mx"]).alias("mxs"),
+    )
+    # element_at, not [] — Spark [] indexing is 0-based while the
+    # 1-based k here mirrors the oracle's generate_subscripts
+    code_k = (
+        "CASE WHEN element_at(mxs, k) > element_at(mns, k) THEN "
+        f"least({SQ8_LEVELS}, greatest(0, "
+        "CAST(floor((element_at(v, k) - element_at(mns, k)) "
+        "/ (element_at(mxs, k) - element_at(mns, k)) "
+        f"* {SQ8_LEVELS}) AS INT))) ELSE 0 END"
+    )
+    codes_expr = F.expr(
+        f"transform(sequence(1, size(v)), k -> {code_k})"
+    )
+    coded = emb.crossJoin(F.broadcast(packed)).select(
+        "vec_id", codes_expr.alias("c"), "mns", "mxs"
+    )
+    q = coded.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("c").alias("qc")
+    )
+    d2 = F.expr(
+        "round(aggregate(sequence(1, size(c)), CAST(0.0 AS DOUBLE), "
+        "(acc, k) -> acc + power("
+        "CAST(element_at(c, k) - element_at(qc, k) AS DOUBLE) "
+        "* (element_at(mxs, k) - element_at(mns, k)) "
+        f"/ {SQ8_LEVELS}, 2)), 6)"
+    )
+    scored = (
+        coded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", d2.alias("d2"))
+    )
+    return (
+        scored.orderBy("d2", "vec_id")
+        .limit(TOP_K)
+        .select(
+            F.row_number().over(Window.orderBy("d2", "vec_id")).alias("rank"),
+            "vec_id",
+        )
+    )
+
+
+_ORACLE_SQ8 = f"""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS k,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+stats AS (SELECT k, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+coded AS (
+  SELECT x.vec_id, x.k, stats.mn, stats.mx,
+         CASE WHEN stats.mx > stats.mn THEN
+           least({SQ8_LEVELS}, greatest(0,
+             CAST(floor((x.v - stats.mn) / (stats.mx - stats.mn)
+                  * {SQ8_LEVELS}) AS INT)))
+         ELSE 0 END AS c
+  FROM x JOIN stats USING (k)
+),
+q AS (SELECT k, c AS qc FROM coded WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT coded.vec_id,
+         round(sum(power(CAST(coded.c - q.qc AS DOUBLE)
+               * (coded.mx - coded.mn) / {SQ8_LEVELS}, 2)), 6) AS d2
+  FROM coded JOIN q USING (k)
+  WHERE coded.vec_id != {QUERY_VEC_ID}
+  GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY d2, vec_id) AS rank, vec_id
+FROM scored ORDER BY d2, vec_id LIMIT {TOP_K}
+"""
+
+EXTRA_QUERIES["ann_sq8_probe"] = q_ann_sq8_probe
+EXTRA_ORACLES["ann_sq8_probe"] = _ORACLE_SQ8

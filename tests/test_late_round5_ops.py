@@ -1,0 +1,91 @@
+"""Late-round-5 similarity operators: one-pass covariance (the PCA
+front end) and SQ8 scalar-quantized ANN."""
+
+import numpy as np
+import pytest
+
+from ocr_service_spark.ops import similarity
+
+
+def _write_embeddings(spark, out, vecs):
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(out / "embeddings.parquet"))
+
+
+def test_covariance_matches_numpy_and_pca_recovers_axis(spark, tmp_path):
+    """The (i, j, cov) triangle must equal numpy's sample covariance,
+    and the driver-side eigendecomposition on top of it must recover a
+    planted dominant axis — the documented PCA step."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    rng = np.random.RandomState(7)
+    d = 6
+    # variance planted along e0 + e1: top principal component ~ (1,1)/√2
+    base = rng.normal(0, 0.01, size=(200, d))
+    t = rng.normal(0, 1.0, size=200)
+    base[:, 0] += t
+    base[:, 1] += t
+    _write_embeddings(spark, out, base.astype(np.float32))
+    got = similarity.q_embedding_covariance(spark, str(out)).collect()
+    assert len(got) == d * (d + 1) // 2
+    cov = np.zeros((d, d))
+    for r in got:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    expected = np.cov(base.astype(np.float32).astype(np.float64), rowvar=False)
+    assert np.allclose(cov, expected, atol=5e-6)  # COV_ROUND quantum
+    w, v = np.linalg.eigh(cov)
+    top = v[:, -1] * np.sign(v[0, -1])
+    assert abs(top[0] - 1 / np.sqrt(2)) < 0.05
+    assert abs(top[1] - 1 / np.sqrt(2)) < 0.05
+    assert w[-1] / w.sum() > 0.9  # the planted axis dominates
+
+
+def test_covariance_is_partition_invariant(spark, tmp_path):
+    """Partial-moment accumulation must not depend on how rows land in
+    Arrow batches: 1-partition and 8-partition runs agree exactly
+    (post-rounding)."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(0, 0.2, size=(120, 4)).astype(np.float32)
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(8).write.parquet(str(out / "embeddings.parquet"))
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in similarity.q_embedding_covariance(spark, str(out)).collect()
+    }
+    one = tmp_path / "one"
+    one.mkdir()
+    _write_embeddings(spark, one, vecs)
+    ref = {
+        (r["i"], r["j"]): r["cov"]
+        for r in similarity.q_embedding_covariance(spark, str(one)).collect()
+    }
+    assert got == ref
+
+
+def test_sq8_probe_finds_planted_neighbors_and_ignores_flat_dims(
+    spark, tmp_path
+):
+    """Vectors placed near the query must fill the SQ8 top-k ahead of a
+    far cluster (8-bit codes easily separate them), and a constant
+    dimension (mx == mn) must not crash or contribute distance."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    rng = np.random.RandomState(11)
+    d = 8
+    q = np.zeros(d)
+    near = q + rng.normal(0, 0.01, size=(5, d))
+    far = q + 5.0 + rng.normal(0, 0.01, size=(20, d))
+    vecs = np.vstack([q, near, far])
+    vecs[:, 3] = 7.25  # flat dim: identical in every vector
+    _write_embeddings(spark, out, vecs.astype(np.float32))
+    got = similarity.q_ann_sq8_probe(spark, str(out)).collect()
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    top5 = {r["vec_id"] for r in got[:5]}
+    assert top5 == {1, 2, 3, 4, 5}  # the near cluster, ahead of all far
