@@ -1223,25 +1223,18 @@ PR_TOP = 16
 PR_ROUND = 9
 
 
-def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-PR_TOP authority documents of the near-dup graph:
-    (rank, doc_id, pr, degree). Isolated documents hold the pure
-    teleport rank and are excluded from the panel (they have no dedup
-    decision to win). The final top-K is a distributed TakeOrdered +
-    a statistics-sized re-rank, the kNN pattern."""
-    import pyarrow.parquet as pq
-
-    from . import table_path
-    from pyspark.sql import Window
-
-    n_docs = pq.ParquetFile(table_path(sf_dir, "documents")).metadata.num_rows
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct near-dup candidate pairs (d1 < d2) from the capped
+    2-band MinHash blocking — the shared edge table of the graph family
+    (PageRank authority, LPA communities, triangle census). Mirrors
+    _ORACLE_LSH_CAND_CTES exactly."""
     sig = q_minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         F.md5(F.concat_ws("|", "m0", "m1")).alias("b0"),
         F.md5(F.concat_ws("|", "m2", "m3")).alias("b1"),
     ).selectExpr("doc_id", "stack(2, 0, b0, 1, b1) as (band, bucket)")
-    cand = (
+    return (
         bands.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") > 1) & (F.size("ds") <= LSH_RECALL_MAX_BUCKET))
@@ -1256,6 +1249,21 @@ def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.d1", "p.d2")
         .distinct()
     )
+
+
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_TOP authority documents of the near-dup graph:
+    (rank, doc_id, pr, degree). Isolated documents hold the pure
+    teleport rank and are excluded from the panel (they have no dedup
+    decision to win). The final top-K is a distributed TakeOrdered +
+    a statistics-sized re-rank, the kNN pattern."""
+    import pyarrow.parquet as pq
+
+    from . import table_path
+    from pyspark.sql import Window
+
+    n_docs = pq.ParquetFile(table_path(sf_dir, "documents")).metadata.num_rows
+    cand = _lsh_candidate_pairs(spark, sf_dir)
     edges = cand.select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     ).union(cand.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
@@ -1404,3 +1412,183 @@ GROUP BY source
 
 EXTRA_QUERIES["neardup_canonical"] = q_neardup_canonical
 EXTRA_ORACLES["neardup_canonical"] = _ORACLE_CANONICAL
+
+
+# --------------------------------------------------------------------------
+# near-dup graph census: triangles + clustering coefficient (round 5)
+# --------------------------------------------------------------------------
+# A dedup index is only as good as its candidate graph, and the graph's
+# transitivity is the one-number health check: band-blocking of true
+# duplicate CLUSTERS produces closed triangles (high clustering
+# coefficient), while hash-collision noise produces open wedges. The
+# census is the standard ordered-triple triangle join (each triangle
+# counted once as d1 < d2 < d3) over the SAME capped edge table the
+# PageRank/CC family uses — bucket caps bound both the edge count and
+# the join fan-out, so no quadratic blow-up exists at any corpus size.
+# (For power-law graphs beyond LSH blocking, orient edges low-degree ->
+# high-degree first — the compact-forward trick; the capped-bucket graph
+# here has bounded degree by construction, so the plain ordered join is
+# already fan-out-bounded.)
+TRI_ROUND = 6
+
+
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph census: (n_nodes, n_edges, n_triangles, n_wedges,
+    clustering_coeff). Wedges = sum over nodes of C(deg, 2) — exact,
+    from the degree table, no path enumeration. The edge table is
+    localCheckpointed once (the PageRank lineage rule): the triangle
+    join references it three times."""
+    cand = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
+    edges = cand.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
+        cand.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    base = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_wedges"),
+    )
+    e1, e2, e3 = cand.alias("e1"), cand.alias("e2"), cand.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.d2") == F.col("e2.d1"))
+        .join(
+            e3,
+            (F.col("e3.d1") == F.col("e1.d1"))
+            & (F.col("e3.d2") == F.col("e2.d2")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = cand.agg(F.count("*").alias("n_edges"))
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), TRI_ROUND),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            cc.alias("clustering_coeff"),
+        )
+    )
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH {_ORACLE_LSH_CAND_CTES},
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM cand
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM cand
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+base AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM cand e1
+  JOIN cand e2 ON e2.d1 = e1.d2
+  JOIN cand e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+),
+ne AS (SELECT count(*) AS n_edges FROM cand)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * n_triangles / n_wedges, {TRI_ROUND})
+            ELSE 0.0 END AS clustering_coeff
+FROM base, ne, tri
+"""
+
+
+EXTRA_QUERIES["neardup_triangles"] = q_neardup_triangles
+EXTRA_ORACLES["neardup_triangles"] = _triangles_sql()
+
+
+# --------------------------------------------------------------------------
+# label-propagation communities (round 5)
+# --------------------------------------------------------------------------
+# Raghavan et al. 2007 synchronous LPA over the near-dup graph: every
+# node starts as its own label, then repeatedly adopts the most frequent
+# label in its CLOSED neighborhood (self-vote included — without it a
+# 2-node community oscillates forever under synchronous updates), ties
+# broken by the smallest label. Two synchronous rounds, each ONE
+# edge-to-label join + ONE (node, label) count + ONE per-node argmax
+# window — the same bounded-iteration layout as the PageRank operator
+# (connected_components covers the run-to-fixpoint variant; LPA finds
+# denser-than-component structure in fewer, cheaper rounds).
+LPA_ITERS = 2
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-singleton LPA communities after LPA_ITERS synchronous
+    rounds: (community, n_members). The edge table is localCheckpointed
+    once; per-node argmax windows partition on the node key, so no
+    partition exceeds a node's (bucket-capped) degree."""
+    from pyspark.sql import Window as W
+
+    cand = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
+    edges = cand.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
+        cand.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("doc")).distinct().select(
+        "doc", F.col("doc").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        votes = edges.join(labels, edges["src"] == labels["doc"]).select(
+            F.col("dst").alias("doc"), "label"
+        ).union(labels.select("doc", "label"))
+        counts = votes.groupBy("doc", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("doc").orderBy(F.desc("c"), F.asc("label"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("doc", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def _lpa_sql() -> str:
+    rnd = """
+v{n} AS (
+  SELECT e.dst AS doc, l.label FROM edges e JOIN l{p} l ON e.src = l.doc
+  UNION ALL SELECT doc, label FROM l{p}
+),
+c{n} AS (SELECT doc, label, count(*) AS c FROM v{n} GROUP BY 1, 2),
+l{n} AS (
+  SELECT doc, label FROM (
+    SELECT doc, label,
+           row_number() OVER (PARTITION BY doc ORDER BY c DESC, label) AS rn
+    FROM c{n}
+  ) WHERE rn = 1
+)"""
+    rounds = ",".join(
+        rnd.format(n=i + 1, p=i) for i in range(LPA_ITERS)
+    )
+    return f"""
+WITH {_ORACLE_LSH_CAND_CTES},
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM cand
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM cand
+),
+l0 AS (SELECT DISTINCT src AS doc, src AS label FROM edges),
+{rounds}
+SELECT label AS community, count(*) AS n_members
+FROM l{LPA_ITERS} GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+EXTRA_QUERIES["lpa_communities"] = q_lpa_communities
+EXTRA_ORACLES["lpa_communities"] = _lpa_sql()

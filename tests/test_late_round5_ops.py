@@ -89,3 +89,55 @@ def test_sq8_probe_finds_planted_neighbors_and_ignores_flat_dims(
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
     top5 = {r["vec_id"] for r in got[:5]}
     assert top5 == {1, 2, 3, 4, 5}  # the near cluster, ahead of all far
+
+
+def _write_docs(spark, out, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+
+
+def test_triangle_census_counts_planted_clique(spark, tmp_path):
+    """Three identical docs band into one bucket -> one closed triangle
+    (clustering coefficient 1.0 on that component); two more identical
+    docs add one edge and zero triangles."""
+    from ocr_service_spark.ops import dedup
+
+    out = tmp_path / "sf"
+    out.mkdir()
+    tri_text = "alpha beta gamma delta epsilon zeta eta theta"
+    pair_text = "one two three four five six seven eight nine"
+    rows = [(i, tri_text, "en", "s", len(tri_text)) for i in range(3)]
+    rows += [(10 + i, pair_text, "en", "s", len(pair_text)) for i in range(2)]
+    # filler docs with unique text: no bands shared, graph-isolated
+    for i in range(5):
+        t = f"unique{i} filler{i} words{i} here{i} now{i} pad{i} x{i} y{i}"
+        rows.append((100 + i, t, "en", "s", len(t)))
+    _write_docs(spark, out, rows)
+    got = dedup.q_neardup_triangles(spark, str(out)).collect()[0]
+    assert got["n_nodes"] == 5
+    assert got["n_edges"] == 4  # triangle (3) + pair (1)
+    assert got["n_triangles"] == 1
+    # wedges: each clique node has deg 2 -> C(2,2)=1 each; the pair's
+    # deg-1 nodes contribute none
+    assert got["n_wedges"] == 3
+    assert abs(got["clustering_coeff"] - 1.0) < 1e-9  # 3*1/3
+
+
+def test_lpa_finds_planted_communities(spark, tmp_path):
+    """Two disjoint duplicate clusters (sizes 4 and 2) resolve to two
+    communities labeled by their smallest member."""
+    from ocr_service_spark.ops import dedup
+
+    out = tmp_path / "sf"
+    out.mkdir()
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "one two three four five six seven eight nine"
+    rows = [(i, a, "en", "s", len(a)) for i in range(4)]
+    rows += [(20 + i, b, "en", "s", len(b)) for i in range(2)]
+    _write_docs(spark, out, rows)
+    got = {
+        r["community"]: r["n_members"]
+        for r in dedup.q_lpa_communities(spark, str(out)).collect()
+    }
+    assert got == {0: 4, 20: 2}
