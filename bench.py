@@ -163,6 +163,12 @@ HEADLINE = [
     "winnowing_fingerprints",
     "rrf_hybrid_retrieval",
     "ks_drift",
+    "ccnet_ppl_buckets",
+    "domain_cap_sample",
+    "embedding_covariance",
+    "ann_sq8_probe",
+    "neardup_triangles",
+    "lpa_communities",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

@@ -1526,10 +1526,13 @@ LPA_ITERS = 2
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-singleton LPA communities after LPA_ITERS synchronous
     rounds: (community, n_members). The edge table is localCheckpointed
-    once; per-node argmax windows partition on the node key, so no
-    partition exceeds a node's (bucket-capped) degree."""
-    from pyspark.sql import Window as W
-
+    once; the per-node argmax runs as a map-side-combinable
+    max(struct(count, -label)) aggregation rather than a row_number
+    window (partial aggregation combines before the exchange; a window
+    must sort every count row inside its partition). Shuffle volume is
+    ~1.6x the edge table per run (SHUFFLE.json vs the edge-table
+    in-ratio) — linear in the graph, whose own growth the capped
+    banding bounds at bucket_cap x bands x corpus."""
     cand = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
     edges = cand.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
         cand.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
@@ -1542,15 +1545,15 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("doc"), "label"
         ).union(labels.select("doc", "label"))
         counts = votes.groupBy("doc", "label").agg(F.count("*").alias("c"))
+        # lexicographic struct max = (most votes, then smallest label)
         labels = (
-            counts.withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("doc").orderBy(F.desc("c"), F.asc("label"))
-                ),
+            counts.groupBy("doc")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
             )
-            .filter(F.col("rn") == 1)
-            .select("doc", "label")
+            .select("doc", (-F.col("m.nl")).alias("label"))
         )
     return (
         labels.groupBy(F.col("label").alias("community"))

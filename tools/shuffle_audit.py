@@ -47,7 +47,7 @@ AUDIT = {
     "pmi_cooccurrence": "documents",       # row-local skipgram pairs
     "doc_chunks": "documents",             # pure projection: zero-shuffle
     "source_overlap_matrix": "documents",  # banded pairs -> source matrix (r4)
-    "neardup_pagerank": "documents",       # capped-band edges, 1 shuffle/iter (r4)
+    "neardup_pagerank": "lsh_edges",       # capped-band edges, 1 shuffle/iter (r4)
     "minhash_lsh_recall": "documents",     # capped truth + capped candidates (r4)
     "quality_signal_corr": "documents",    # fixed-width moment summary (r4)
     "priority_sample": "documents",        # TakeOrdered top-(k+1), no global sort (r4)
@@ -60,6 +60,10 @@ AUDIT = {
     "rrf_hybrid_retrieval": "documents",   # two bounded arm pools (r5)
     "ks_drift": "documents",               # (source,value)-grid ECDFs (r5)
     "neardup_canonical": "documents",      # one fp-keyed window shuffle (r5)
+    "ccnet_ppl_buckets": "documents",      # tf shuffle + per-lang ntile (r5)
+    "domain_cap_sample": "documents",      # salted two-stage top-k (r5)
+    "neardup_triangles": "lsh_edges",      # capped-band ordered-triple join (r5)
+    "lpa_communities": "lsh_edges",        # 2 bounded label rounds (r5)
     "semantic_decontam": "embeddings",     # broadcast panel, 1 row out per row in (r4)
     # embeddings-driven (4x)
     "embedding_neardup": "embeddings",     # corpus-sized LSH blocking
@@ -68,6 +72,8 @@ AUDIT = {
     # embeddings-driven, round 4
     "ann_ivfpq_multiprobe": "embeddings",  # shared PQ panel + cell filters
     "kmeans_clusters": "embeddings",       # K=sqrt(n), 2-level model update
+    "embedding_covariance": "embeddings",  # per-batch moment triangles (r5)
+    "ann_sq8_probe": "embeddings",         # 64-group stats + broadcast codes (r5)
     # lineitem-driven (100x)
     "hll_distinct": "lineitem",            # register sketch: 1 shuffle, m rows (r4)
     # events-driven (100x)
@@ -101,6 +107,26 @@ def _snapshot(spark) -> int:
 def _table_rows(sf_dir: str, table: str) -> int:
     import pyarrow.parquet as pq
 
+    if table == "lsh_edges":
+        # the graph family's true input is the banded candidate-pair
+        # edge table, not raw documents: richer overlap structure makes
+        # it grow FASTER than the corpus (while the bucket cap bounds it
+        # at bucket_cap x bands x corpus, i.e. still linear). Judging
+        # edge-driven shuffles against document growth would flag a
+        # constant per-edge cost as super-linear. Counted with DuckDB
+        # via the same CTEs the oracles use.
+        import duckdb
+
+        from ocr_service_spark.ops.dedup import _ORACLE_LSH_CAND_CTES
+
+        con = duckdb.connect()
+        path = os.path.join(sf_dir, "documents.parquet")
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+        )
+        return con.execute(
+            f"WITH {_ORACLE_LSH_CAND_CTES} SELECT count(*) FROM cand"
+        ).fetchone()[0]
     return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
 
 
