@@ -169,6 +169,8 @@ HEADLINE = [
     "ann_sq8_probe",
     "neardup_triangles",
     "lpa_communities",
+    "token_entropy_zipf",
+    "rp_distortion",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

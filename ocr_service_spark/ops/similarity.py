@@ -1747,3 +1747,113 @@ FROM scored ORDER BY d2, vec_id LIMIT {TOP_K}
 
 EXTRA_QUERIES["ann_sq8_probe"] = q_ann_sq8_probe
 EXTRA_ORACLES["ann_sq8_probe"] = _ORACLE_SQ8
+
+
+# --- Johnson-Lindenstrauss random projection (distortion panel) --------------
+# Sign random projection 64 -> RP_DP dims (Achlioptas 2003: +-1 entries
+# suffice for the JL guarantee). At 100 TB the projection is the cheap
+# part — a row-local matmul against a broadcast d x dp sign matrix, no
+# shuffle, one row out per row in; what needs MEASURING is the
+# distortion the chosen dp actually inflicts, so the panel reports the
+# projected-vs-original distance ratio over all pairs of a fixed
+# RP_PANEL-vector sample (statistics-sized self-join). The sign matrix
+# derives from md5 so both engines build the identical literal.
+RP_DP = 16       # target dimensionality
+RP_D = 64        # embeddings-table dimensionality (TESTDATA.md schema)
+RP_PANEL = 24    # distortion sample: 24 vectors -> 276 pairs
+
+
+def _rp_matrix() -> list[list[float]]:
+    """RP_D x RP_DP deterministic +-1/sqrt(RP_DP) sign matrix."""
+    import hashlib
+    import math
+
+    s = 1.0 / math.sqrt(RP_DP)
+    return [
+        [
+            s if int(hashlib.md5(f"rp:{i}:{k}".encode()).hexdigest()[0], 16) % 2 == 0 else -s
+            for k in range(RP_DP)
+        ]
+        for i in range(RP_D)
+    ]
+
+
+def q_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL distortion panel: (a, b, orig_dist, proj_dist, distortion)
+    over all RP_PANEL-choose-2 pairs (zero-distance pairs excluded —
+    no ratio exists). Distances and the ratio round to 6 decimals."""
+    R = _rp_matrix()
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < RP_PANEL)
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(R[i][k]) for i in range(RP_D)]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for k in range(RP_DP)
+    ]
+    pe = emb.select("vec_id", "v", F.array(*proj_cols).alias("y"))
+    a, b = pe.alias("a"), pe.alias("b")
+
+    def _dist(ca, cb):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("a"),
+        F.col("b.vec_id").alias("b"),
+        _dist(F.col("a.v"), F.col("b.v")).alias("od"),
+        _dist(F.col("a.y"), F.col("b.y")).alias("pd"),
+    )
+    return pairs.filter(F.col("od") > 0).select(
+        "a",
+        "b",
+        F.round("od", 6).alias("orig_dist"),
+        F.round("pd", 6).alias("proj_dist"),
+        F.round(F.col("pd") / F.col("od"), 6).alias("distortion"),
+    )
+
+
+def _rp_sql() -> str:
+    R = _rp_matrix()
+    proj = ", ".join(
+        "list_sum(list_transform(list_zip(v, ["
+        + ", ".join(repr(R[i][k]) for i in range(RP_D))
+        + "]), p -> p[1] * CAST(p[2] AS DOUBLE)))"
+        for k in range(RP_DP)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < {RP_PANEL}
+),
+pe AS (SELECT vec_id, v, [{proj}] AS y FROM e),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         sqrt(list_sum(list_transform(list_zip(a.v, b.v),
+              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS od,
+         sqrt(list_sum(list_transform(list_zip(a.y, b.y),
+              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS pd
+  FROM pe a JOIN pe b ON a.vec_id < b.vec_id
+)
+SELECT a, b, round(od, 6) AS orig_dist, round(pd, 6) AS proj_dist,
+       round(pd / od, 6) AS distortion
+FROM pairs WHERE od > 0
+"""
+
+
+EXTRA_QUERIES["rp_distortion"] = q_rp_distortion
+EXTRA_ORACLES["rp_distortion"] = _rp_sql()

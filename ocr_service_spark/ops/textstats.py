@@ -2519,3 +2519,138 @@ GROUP BY source, n_docs
 
 EXTRA_QUERIES["domain_cap_sample"] = q_domain_cap_sample
 EXTRA_ORACLES["domain_cap_sample"] = _ORACLE_DOMAIN_CAP
+
+
+# --------------------------------------------------------------------------
+# Token entropy + Zipf panel (round 5)
+# --------------------------------------------------------------------------
+# Two information-theoretic corpus-health signals per source: Shannon
+# entropy of the token distribution (low entropy = TEMPLATE/boilerplate
+# content; the signal behind "perplexity of a uniform model") and the
+# Zipf log-log slope fit over the top-ZIPF_TOP ranks (natural language
+# sits near -1; generated/spam corpora flatten or steepen — Piantadosi
+# 2014 reviews the regularity). One corpus tf shuffle; every window and
+# regression after it runs over sources x top-ranks, statistics-sized.
+ZIPF_TOP = 20
+ENT_ROUND = 6
+
+
+def q_token_entropy_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source panel: (source, n_tokens, n_types, entropy,
+    norm_entropy, top_share, zipf_slope).
+
+    entropy = -sum p ln p over the source's token distribution;
+    norm_entropy = entropy / ln(n_types) (1.0 = uniform);
+    top_share = most frequent token's mass; zipf_slope = OLS slope of
+    ln(count) on ln(rank) over the top-ZIPF_TOP tokens (ties broken by
+    term so both engines rank identically)."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = tf.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    ent = (
+        tf.join(totals, "source")
+        .groupBy("source")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n_tokens"))
+                    * F.log(F.col("c") / F.col("n_tokens"))
+                ),
+                ENT_ROUND,
+            ).alias("entropy"),
+            F.max(F.col("c") / F.col("n_tokens")).alias("tsh"),
+        )
+    )
+    ranked = tf.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.desc("c"), F.asc("term"))
+        ),
+    ).filter(F.col("r") <= ZIPF_TOP)
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    slope = (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(lx).alias("sx"),
+            F.sum(ly).alias("sy"),
+            F.sum(lx * ly).alias("sxy"),
+            F.sum(lx * lx).alias("sxx"),
+        )
+        .select(
+            "source",
+            F.round(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                ENT_ROUND,
+            ).alias("zipf_slope"),
+        )
+    )
+    return (
+        totals.join(ent, "source")
+        .join(slope, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "entropy",
+            F.round(F.col("entropy") / F.log(F.col("n_types").cast("double")), ENT_ROUND).alias(
+                "norm_entropy"
+            ),
+            F.round(F.col("tsh"), ENT_ROUND).alias("top_share"),
+            "zipf_slope",
+        )
+    )
+
+
+_ORACLE_ENTROPY = f"""
+WITH tf AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+c AS (SELECT source, term, count(*) AS c FROM tf GROUP BY 1, 2),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_types
+  FROM c GROUP BY 1
+),
+ent AS (
+  SELECT c.source,
+         round(-sum((c / CAST(n_tokens AS DOUBLE))
+               * ln(c / CAST(n_tokens AS DOUBLE))), {ENT_ROUND}) AS entropy,
+         max(c / CAST(n_tokens AS DOUBLE)) AS tsh
+  FROM c JOIN totals ON c.source = totals.source
+  GROUP BY 1
+),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS r
+  FROM c
+),
+slope AS (
+  SELECT source,
+         round((count(*) * sum(ln(r) * ln(c)) - sum(ln(r)) * sum(ln(c)))
+               / (count(*) * sum(ln(r) * ln(r)) - sum(ln(r)) * sum(ln(r))),
+               {ENT_ROUND}) AS zipf_slope
+  FROM ranked WHERE r <= {ZIPF_TOP}
+  GROUP BY 1
+)
+SELECT totals.source, n_tokens, n_types, entropy,
+       round(entropy / ln(n_types), {ENT_ROUND}) AS norm_entropy,
+       round(tsh, {ENT_ROUND}) AS top_share,
+       zipf_slope
+FROM totals JOIN ent ON totals.source = ent.source
+            JOIN slope ON totals.source = slope.source
+"""
+
+EXTRA_QUERIES["token_entropy_zipf"] = q_token_entropy_zipf
+EXTRA_ORACLES["token_entropy_zipf"] = _ORACLE_ENTROPY

@@ -1,5 +1,6 @@
-"""Late-round-5 similarity operators: one-pass covariance (the PCA
-front end) and SQ8 scalar-quantized ANN."""
+"""Late-round-5 operators: one-pass covariance (the PCA front end),
+SQ8 scalar-quantized ANN, the near-dup graph census + LPA communities,
+the token entropy/Zipf panel, and the JL random-projection panel."""
 
 import numpy as np
 import pytest
@@ -141,3 +142,64 @@ def test_lpa_finds_planted_communities(spark, tmp_path):
         for r in dedup.q_lpa_communities(spark, str(out)).collect()
     }
     assert got == {0: 4, 20: 2}
+
+
+def test_token_entropy_zipf_panel(spark, tmp_path):
+    """A uniform source must score norm_entropy 1.0 with Zipf slope 0;
+    a 1/r power-law source must fit slope ~ -1."""
+    import math
+
+    from ocr_service_spark.ops import textstats
+
+    out = tmp_path / "sf"
+    out.mkdir()
+    uniform = " ".join(f"w{i}" for i in range(30))  # each token once
+    # counts ~ 100/r for ranks 1..10 -> ln c = ln 100 - ln r
+    zipfy = " ".join(
+        " ".join([f"t{r}"] * max(1, round(100 / r))) for r in range(1, 11)
+    )
+    rows = [
+        (0, uniform, "en", "U", len(uniform)),
+        (1, zipfy, "en", "Z", len(zipfy)),
+    ]
+    _write_docs(spark, out, rows)
+    got = {
+        r["source"]: r
+        for r in textstats.q_token_entropy_zipf(spark, str(out)).collect()
+    }
+    u = got["U"]
+    assert u["n_tokens"] == 30 and u["n_types"] == 30
+    assert abs(u["entropy"] - math.log(30)) < 1e-5
+    assert abs(u["norm_entropy"] - 1.0) < 1e-5
+    assert abs(u["zipf_slope"]) < 1e-9  # equal counts: flat fit
+    z = got["Z"]
+    assert -1.1 < z["zipf_slope"] < -0.9  # 100/r rounding wiggle
+    assert z["top_share"] > 0.3  # rank-1 token carries 100/~295 mass
+
+
+def test_rp_distortion_respects_jl_bound(spark, tmp_path):
+    """All panel pairs reported; distortion clusters near 1.0 (JL with
+    dp=16 on gaussian vectors); one pair cross-checked against numpy."""
+    from ocr_service_spark.ops import similarity as sim
+
+    out = tmp_path / "sf"
+    out.mkdir()
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(0, 0.2, size=(sim.RP_PANEL + 10, sim.RP_D)).astype(
+        np.float32
+    )
+    _write_embeddings(spark, out, vecs)
+    got = sim.q_rp_distortion(spark, str(out)).collect()
+    n = sim.RP_PANEL
+    assert len(got) == n * (n - 1) // 2
+    ds = [r["distortion"] for r in got]
+    assert 0.8 < float(np.mean(ds)) < 1.2
+    assert all(0.3 < d < 1.9 for d in ds)  # dp=16 JL spread
+    r0 = got[0]
+    R = np.array(sim._rp_matrix())
+    va = vecs[r0["a"]].astype(np.float64)
+    vb = vecs[r0["b"]].astype(np.float64)
+    od = np.linalg.norm(va - vb)
+    pd_ = np.linalg.norm(va @ R - vb @ R)
+    assert abs(r0["orig_dist"] - round(od, 6)) < 1e-6
+    assert abs(r0["proj_dist"] - round(pd_, 6)) < 1e-5

@@ -61,6 +61,7 @@ AUDIT = {
     "ks_drift": "documents",               # (source,value)-grid ECDFs (r5)
     "neardup_canonical": "documents",      # one fp-keyed window shuffle (r5)
     "ccnet_ppl_buckets": "documents",      # tf shuffle + per-lang ntile (r5)
+    "token_entropy_zipf": "documents",     # one tf shuffle + stats windows (r5)
     "domain_cap_sample": "documents",      # salted two-stage top-k (r5)
     "neardup_triangles": "lsh_edges",      # capped-band ordered-triple join (r5)
     "lpa_communities": "lsh_edges",        # 2 bounded label rounds (r5)
@@ -74,6 +75,7 @@ AUDIT = {
     "kmeans_clusters": "embeddings",       # K=sqrt(n), 2-level model update
     "embedding_covariance": "embeddings",  # per-batch moment triangles (r5)
     "ann_sq8_probe": "embeddings",         # 64-group stats + broadcast codes (r5)
+    "rp_distortion": "embeddings",         # row-local matmul, panel-only pairs (r5)
     # lineitem-driven (100x)
     "hll_distinct": "lineitem",            # register sketch: 1 shuffle, m rows (r4)
     # events-driven (100x)
