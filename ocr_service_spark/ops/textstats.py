@@ -2588,10 +2588,14 @@ def q_token_entropy_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "source",
-            F.round(
-                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
-                ENT_ROUND,
+            # k=1 (a one-type source) has no fit: NULL on both engines
+            F.when(
+                F.col("k") > 1,
+                F.round(
+                    (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                    ENT_ROUND,
+                ),
             ).alias("zipf_slope"),
         )
     )
@@ -2603,9 +2607,16 @@ def q_token_entropy_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "n_types",
             "entropy",
-            F.round(F.col("entropy") / F.log(F.col("n_types").cast("double")), ENT_ROUND).alias(
-                "norm_entropy"
-            ),
+            # NULL, not 0/0, for a single-type source: both engines
+            # agree on NULL while NaN formatting would hash-diverge
+            F.when(
+                F.col("n_types") > 1,
+                F.round(
+                    F.col("entropy")
+                    / F.log(F.col("n_types").cast("double")),
+                    ENT_ROUND,
+                ),
+            ).alias("norm_entropy"),
             F.round(F.col("tsh"), ENT_ROUND).alias("top_share"),
             "zipf_slope",
         )
@@ -2638,14 +2649,17 @@ ranked AS (
 ),
 slope AS (
   SELECT source,
-         round((count(*) * sum(ln(r) * ln(c)) - sum(ln(r)) * sum(ln(c)))
-               / (count(*) * sum(ln(r) * ln(r)) - sum(ln(r)) * sum(ln(r))),
-               {ENT_ROUND}) AS zipf_slope
+         CASE WHEN count(*) > 1 THEN
+           round((count(*) * sum(ln(r) * ln(c)) - sum(ln(r)) * sum(ln(c)))
+                 / (count(*) * sum(ln(r) * ln(r)) - sum(ln(r)) * sum(ln(r))),
+                 {ENT_ROUND})
+         END AS zipf_slope
   FROM ranked WHERE r <= {ZIPF_TOP}
   GROUP BY 1
 )
 SELECT totals.source, n_tokens, n_types, entropy,
-       round(entropy / ln(n_types), {ENT_ROUND}) AS norm_entropy,
+       CASE WHEN n_types > 1
+            THEN round(entropy / ln(n_types), {ENT_ROUND}) END AS norm_entropy,
        round(tsh, {ENT_ROUND}) AS top_share,
        zipf_slope
 FROM totals JOIN ent ON totals.source = ent.source

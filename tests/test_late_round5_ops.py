@@ -203,3 +203,18 @@ def test_rp_distortion_respects_jl_bound(spark, tmp_path):
     pd_ = np.linalg.norm(va @ R - vb @ R)
     assert abs(r0["orig_dist"] - round(od, 6)) < 1e-6
     assert abs(r0["proj_dist"] - round(pd_, 6)) < 1e-5
+
+
+def test_token_entropy_zipf_single_type_source_yields_nulls(spark, tmp_path):
+    """A one-type source has no normalized entropy and no Zipf fit:
+    both must be NULL (a 0/0 NaN would hash-diverge across engines)."""
+    from ocr_service_spark.ops import textstats
+
+    out = tmp_path / "sf"
+    out.mkdir()
+    rows = [(0, "same same same same", "en", "S", 19)]
+    _write_docs(spark, out, rows)
+    got = textstats.q_token_entropy_zipf(spark, str(out)).collect()[0]
+    assert got["n_types"] == 1 and got["n_tokens"] == 4
+    assert got["entropy"] == 0.0 and got["top_share"] == 1.0
+    assert got["norm_entropy"] is None and got["zipf_slope"] is None
