@@ -104,6 +104,12 @@ def widen(df):
             for k in ("Aggregate", "Join", "Window", "Deduplicate", "Repartition")
         ):
             return df
+        # defensive cap (round-4 review): the RDD probe is only ever
+        # cheap for driver-local frames. Anything else narrow and
+        # file-less (JDBC scan, RDD-backed source) skips widening
+        # rather than paying a full-plan RDD conversion at scale.
+        if not any(k in plan for k in ("LocalRelation", "LogicalRDD")):
+            return df
         est = df.rdd.getNumPartitions()  # narrow local frame: cheap probe
     if est < target:
         return df.repartition(target)
