@@ -2048,3 +2048,62 @@ FROM s, ex
 
 EXTRA_QUERIES["hll_distinct"] = q_hll_distinct
 EXTRA_ORACLES["hll_distinct"] = _ORACLE_HLL
+
+
+# --------------------------------------------------------------------------
+# hopping (sliding) window aggregation — batch form (round 5)
+# --------------------------------------------------------------------------
+# The overlapping-window rollup every monitoring stack runs (a 2-day
+# window advancing 1 day): each event lands in size/slide windows.
+# Spark's F.window(size, slide) implements this natively in BATCH too —
+# Catalyst expands each row into its size/slide window assignments
+# (an Expand node, row growth bounded by the overlap factor, here 2x)
+# and the aggregation map-side-combines per (window, type) before ONE
+# statistics-sized exchange. The tumbling form lives in the streaming
+# suite (q_windowed_event_counts); this is its batch sliding sibling.
+HOP_SIZE = "2 days"
+HOP_SLIDE = "1 day"
+
+
+def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (2-day hopping window, event_type) counts and value sums.
+
+    Output: (window_start, window_end, event_type, n_events,
+    total_value) — window bounds epoch-aligned to the slide, so both
+    engines derive identical window starts from the timestamp alone."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", HOP_SIZE, HOP_SLIDE).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_ORACLE_HOPPING = """
+WITH hop AS (
+  SELECT event_type, value, ts,
+         date_trunc('day', ts) - (o * INTERVAL 1 DAY) AS wstart
+  FROM events, unnest([0, 1]) AS t(o)
+)
+SELECT wstart AS window_start,
+       wstart + INTERVAL 2 DAY AS window_end,
+       event_type, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM hop
+WHERE ts >= wstart AND ts < wstart + INTERVAL 2 DAY
+GROUP BY 1, 2, 3
+"""
+
+EXTRA_QUERIES["hopping_window_counts"] = q_hopping_window_counts
+EXTRA_ORACLES["hopping_window_counts"] = _ORACLE_HOPPING

@@ -218,3 +218,35 @@ def test_token_entropy_zipf_single_type_source_yields_nulls(spark, tmp_path):
     assert got["n_types"] == 1 and got["n_tokens"] == 4
     assert got["entropy"] == 0.0 and got["top_share"] == 1.0
     assert got["norm_entropy"] is None and got["zipf_slope"] is None
+
+
+def test_hopping_windows_double_count_each_event(spark, tmp_path):
+    """With size 2d / slide 1d every event lands in exactly TWO windows,
+    so total window-row mass is 2x the event count and each event's two
+    windows are the adjacent day-aligned starts."""
+    import datetime
+
+    from ocr_service_spark.ops import relational
+
+    out = tmp_path / "sf"
+    out.mkdir()
+    rows = [
+        (1, datetime.datetime(2024, 1, 5, 12, 0, 0), 10, "click", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 5, 23, 59, 59), 11, "click", 2.0, "{}"),
+        (3, datetime.datetime(2024, 1, 6, 0, 0, 0), 12, "view", 4.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(out / "events.parquet"))
+    got = relational.q_hopping_window_counts(spark, str(out)).collect()
+    assert sum(r["n_events"] for r in got) == 2 * 3
+    clicks = {
+        (str(r["window_start"]), r["n_events"], r["total_value"])
+        for r in got
+        if r["event_type"] == "click"
+    }
+    # both clicks are on Jan 5: windows [Jan 4, Jan 6) and [Jan 5, Jan 7)
+    assert ("2024-01-04 00:00:00", 2, 3.0) in clicks
+    assert ("2024-01-05 00:00:00", 2, 3.0) in clicks

@@ -86,6 +86,7 @@ AUDIT = {
     "zorder_locality": "events",           # two-phase prefix rank (r4)
     "timeseries_gapfill": "events",        # (type x bucket) summary + calendar (r4)
     "touch_attribution": "events",         # banded conv x touch join (r4)
+    "hopping_window_counts": "events",     # 2x Expand + stats-sized agg (r5)
 }
 
 
