@@ -61,6 +61,23 @@ AUDIT = {
     "ks_drift": "documents",               # (source,value)-grid ECDFs (r5)
     "neardup_canonical": "documents",      # one fp-keyed window shuffle (r5)
     "ccnet_ppl_buckets": "documents",      # tf shuffle + per-lang ntile (r5)
+    # full-registry widening (r5): every remaining single-plan batch query
+    "span_explode_reassemble": "documents",
+    "stratified_sample": "documents",
+    "quality_scores": "documents",
+    "langid_heuristic": "documents",
+    "fingerprint_clusters": "documents",
+    "corpus_curation": "documents",
+    "pii_scrub_stats": "documents",
+    "repetition_filter": "documents",
+    "unigram_logprob": "documents",
+    "cms_token_counts": "documents",
+    "bloom_seen_probe": "documents",
+    "sequence_packing": "documents",
+    "source_mixture_weights": "documents",
+    "minhash_signatures": "documents",
+    "neardup_components": "documents",     # CC fixpoint: shuffle/iter, lineage truncated
+    "leakage_safe_split": "documents",     # hashes the CC component id
     "token_entropy_zipf": "documents",     # one tf shuffle + stats windows (r5)
     "domain_cap_sample": "documents",      # salted two-stage top-k (r5)
     "neardup_triangles": "lsh_edges",      # capped-band ordered-triple join (r5)
@@ -74,10 +91,31 @@ AUDIT = {
     "ann_ivfpq_multiprobe": "embeddings",  # shared PQ panel + cell filters
     "kmeans_clusters": "embeddings",       # K=sqrt(n), 2-level model update
     "embedding_covariance": "embeddings",  # per-batch moment triangles (r5)
+    "knn_bruteforce": "embeddings",
+    "ann_lsh_probe": "embeddings",
+    "ann_ivf_cells": "embeddings",
+    "ann_ivf_probe": "embeddings",
+    "ann_recall": "embeddings",
+    "label_centroid_sizes": "embeddings",
+    "pq_codes": "embeddings",
+    "pq_adc_probe": "embeddings",
+    "pq_recall": "embeddings",
+    "ann_ivfpq_probe": "embeddings",
+    "semantic_dedup": "embeddings",
     "ann_sq8_probe": "embeddings",         # 64-group stats + broadcast codes (r5)
     "rp_distortion": "embeddings",         # row-local matmul, panel-only pairs (r5)
     # lineitem-driven (100x)
     "hll_distinct": "lineitem",            # register sketch: 1 shuffle, m rows (r4)
+    "pricing_summary": "lineitem",
+    "parts_with_lineitems": "lineitem",
+    "running_quantity": "lineitem",
+    # orders/customer-driven (100x)
+    "segment_order_stats": "customer",
+    "shipping_priority": "customer",
+    "customers_without_orders": "customer",
+    "order_priority_cube": "orders",
+    "qr_format_classify": "orders",
+    "kmv_distinct_estimate": "orders",
     # events-driven (100x)
     "quantile_sketch": "events",           # mergeable W-counter sketch
     "range_join_event_pairs": "events",    # time-bucket blocking
@@ -87,6 +125,21 @@ AUDIT = {
     "timeseries_gapfill": "events",        # (type x bucket) summary + calendar (r4)
     "touch_attribution": "events",         # banded conv x touch join (r4)
     "hopping_window_counts": "events",     # 2x Expand + stats-sized agg (r5)
+    "status_rollup": "events",
+    "top_error_events": "events",
+    "first_event_per_user": "events",
+    "user_set_ops": "events",
+    "value_percentiles": "events",
+    "value_quartiles": "events",
+    "user_event_pivot": "events",
+    "event_props_json": "events",
+    "funnel_conversion": "events",
+    "retention_cohorts": "events",
+    "psi_drift": "events",
+    "ab_test": "events",
+    "dq_checks": "events",
+    "volume_anomalies": "events",
+    "shuffle_key_skew": "events",
 }
 
 
