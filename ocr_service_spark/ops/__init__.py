@@ -104,10 +104,14 @@ def widen(df):
             for k in ("Aggregate", "Join", "Window", "Deduplicate", "Repartition")
         ):
             return df
-        # defensive cap (round-4 review): the RDD probe is only ever
-        # cheap for driver-local frames. Anything else narrow and
-        # file-less (JDBC scan, RDD-backed source) skips widening
-        # rather than paying a full-plan RDD conversion at scale.
+        # defensive cap (round-4 review): the getNumPartitions probe is
+        # job-free (partition METADATA, no execution) but df.rdd still
+        # compiles the whole plan to an RDD on the driver. Allow it only
+        # for LocalRelation/LogicalRDD roots — driver-created frames
+        # (createDataFrame analyzes to LogicalRDD) whose plans are tiny
+        # by construction. Any other narrow file-less frame (JDBC scan,
+        # catalog source) skips widening rather than paying the
+        # plan-compilation cost on an arbitrarily deep plan.
         if not any(k in plan for k in ("LocalRelation", "LogicalRDD")):
             return df
         est = df.rdd.getNumPartitions()  # narrow local frame: cheap probe
