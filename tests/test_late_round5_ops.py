@@ -250,3 +250,54 @@ def test_hopping_windows_double_count_each_event(spark, tmp_path):
     # both clicks are on Jan 5: windows [Jan 4, Jan 6) and [Jan 5, Jan 7)
     assert ("2024-01-04 00:00:00", 2, 3.0) in clicks
     assert ("2024-01-05 00:00:00", 2, 3.0) in clicks
+
+
+def test_new_ops_partition_invariant(spark, tmp_path):
+    """domain_cap_sample, lpa_communities and hopping_window_counts must
+    not depend on how input rows land in partitions (the salted
+    two-stage top-k, the synchronous label rounds, and the Expand-based
+    window assignment are all order-free by construction)."""
+    import datetime
+
+    from ocr_service_spark.ops import dedup, relational, textstats
+
+    def _write(n_parts):
+        out = tmp_path / f"sf{n_parts}"
+        out.mkdir()
+        dup_a = "alpha beta gamma delta epsilon zeta eta theta"
+        dup_b = "one two three four five six seven eight nine"
+        rows = [(i, dup_a, "en", f"s{i % 3}", len(dup_a)) for i in range(30)]
+        rows += [(100 + i, dup_b, "en", "s0", len(dup_b)) for i in range(25)]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).repartition(n_parts).write.parquet(str(out / "documents.parquet"))
+        ev = [
+            (
+                i,
+                datetime.datetime(2024, 1, 1 + i % 9, i % 24, 0, 0),
+                i % 7,
+                ["click", "view"][i % 2],
+                float(i),
+                "{}",
+            )
+            for i in range(200)
+        ]
+        spark.createDataFrame(
+            ev,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).repartition(n_parts).write.parquet(str(out / "events.parquet"))
+        return str(out)
+
+    def _snapshot(sf):
+        return (
+            sorted(tuple(r) for r in textstats.q_domain_cap_sample(spark, sf).collect()),
+            sorted(tuple(r) for r in dedup.q_lpa_communities(spark, sf).collect()),
+            sorted(
+                tuple(r)
+                for r in relational.q_hopping_window_counts(spark, sf).collect()
+            ),
+        )
+
+    assert _snapshot(_write(1)) == _snapshot(_write(7))
