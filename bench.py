@@ -172,6 +172,7 @@ HEADLINE = [
     "token_entropy_zipf",
     "rp_distortion",
     "hopping_window_counts",
+    "event_transitions",
     # leakage_safe_split is excluded like neardup_components: both are
     # CC-iteration-bound (many tiny jobs), oracle-checked but not a
     # single-plan throughput headline. windowed_counts_append and

@@ -2107,3 +2107,66 @@ GROUP BY 1, 2, 3
 
 EXTRA_QUERIES["hopping_window_counts"] = q_hopping_window_counts
 EXTRA_ORACLES["hopping_window_counts"] = _ORACLE_HOPPING
+
+
+# --------------------------------------------------------------------------
+# event-sequence transition mining (round 5)
+# --------------------------------------------------------------------------
+# First-order Markov transition statistics over per-user event streams —
+# the behavioral-analytics primitive behind next-action prediction,
+# funnel discovery, and bot detection (a user whose transition row
+# concentrates on one self-loop is an automation signature). Each
+# user's ordered stream yields consecutive (from, to) pairs via ONE
+# lead() window partitioned by user (partition width = one user's
+# activity, never the corpus), then two statistics-sized aggregations
+# (|event_type|^2 is a handful of rows at any corpus size).
+TRANS_ROUND = 6
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of event types.
+
+    Output: (from_type, to_type, n, p) where p is the row-normalized
+    transition probability, rounded to TRANS_ROUND. Ordering ties on ts
+    break by event_id so both engines sequence identically."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").alias("n"))
+    per_from = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return counts.join(per_from, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("tot"), TRANS_ROUND).alias("p"),
+    )
+
+
+_ORACLE_TRANSITIONS = f"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+per_from AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY 1)
+SELECT from_type, to_type, n, round(n / CAST(tot AS DOUBLE), {TRANS_ROUND}) AS p
+FROM counts JOIN per_from USING (from_type)
+"""
+
+EXTRA_QUERIES["event_transitions"] = q_event_transitions
+EXTRA_ORACLES["event_transitions"] = _ORACLE_TRANSITIONS

@@ -301,3 +301,42 @@ def test_new_ops_partition_invariant(spark, tmp_path):
         )
 
     assert _snapshot(_write(1)) == _snapshot(_write(7))
+
+
+def test_event_transitions_markov_rows(spark, tmp_path):
+    """A planted deterministic stream click->view->click->view per user
+    yields exactly the two cross transitions with p = 1.0, and row
+    probabilities always sum to 1 per from-state."""
+    import datetime
+
+    from ocr_service_spark.ops import relational
+
+    out = tmp_path / "sf"
+    out.mkdir()
+    ev = []
+    for u in range(3):
+        for i in range(6):
+            ev.append(
+                (
+                    u * 10 + i,
+                    datetime.datetime(2024, 1, 1, 0, i, 0),
+                    u,
+                    ["click", "view"][i % 2],
+                    1.0,
+                    "{}",
+                )
+            )
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(out / "events.parquet"))
+    got = {
+        (r["from_type"], r["to_type"]): r
+        for r in relational.q_event_transitions(spark, str(out)).collect()
+    }
+    assert set(got) == {("click", "view"), ("view", "click")}
+    assert got[("click", "view")]["n"] == 9  # 3 users x 3 c->v hops
+    assert got[("view", "click")]["n"] == 6
+    assert got[("click", "view")]["p"] == 1.0
+    assert got[("view", "click")]["p"] == 1.0

@@ -140,6 +140,7 @@ AUDIT = {
     "dq_checks": "events",
     "volume_anomalies": "events",
     "shuffle_key_skew": "events",
+    "event_transitions": "events",         # per-user lead window + 2 tiny aggs (r5)
 }
 
 
